@@ -1,0 +1,220 @@
+"""Separable filters, image pyramids and min-max normalization.
+
+TPU-native equivalents of the OpenCV kernels enumerated in SURVEY §2.10-bis:
+``cv.GaussianBlur`` / ``cv.pyrDown`` / ``cv.pyrUp`` / ``cv.normalize(NORM_MINMAX)``
+(reference call sites: feature_registrator.py:287-312, optflow_registrator.py:249-274).
+
+Everything here is shape-static, jit-friendly and runs as fused XLA convolutions.
+Border mode is BORDER_REFLECT_101 (numpy/jnp "reflect") which is OpenCV's default
+for filters; normalization matches OpenCV's saturate_cast rounding (round half to
+even) so u8 goldens agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "gaussian_kernel",
+    "gaussian_blur",
+    "sep_filter2d",
+    "dog",
+    "pyr_down",
+    "pyr_up",
+    "minmax_normalize_f32",
+    "minmax_normalize_u8",
+]
+
+
+def gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
+    """1-D Gaussian kernel identical to ``cv.getGaussianKernel(ksize, sigma)``.
+
+    For sigma <= 0 OpenCV derives sigma from the kernel size as
+    ``0.3*((ksize-1)*0.5 - 1) + 0.8``; it also has hard-coded tables for tiny
+    kernels, which coincide with the analytic form for these sizes in float.
+    Computed in float64 and cast, matching OpenCV's double-precision build.
+    """
+    if sigma <= 0:
+        # OpenCV substitutes fixed binomial kernels for tiny sizes when sigma<=0.
+        fixed = {
+            1: [1.0],
+            3: [0.25, 0.5, 0.25],
+            5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+            7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+        }
+        if ksize in fixed:
+            return np.asarray(fixed[ksize], dtype=np.float32)
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x**2) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def _reflect101_pad_2d(img: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
+    """BORDER_REFLECT_101 padding (gfedcb|abcdefgh|gfedcba) == jnp 'reflect'."""
+    if pad_h == 0 and pad_w == 0:
+        return img
+    return jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
+
+
+def _conv1d_lastdim(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """VALID correlation of a stack of rows with a 1-D kernel along the last axis.
+
+    ``img`` has shape (..., W); the result is (..., W - K + 1).  Lowered through
+    ``lax.conv_general_dilated`` so XLA maps it onto the TPU convolution path.
+    """
+    k = kernel.shape[0]
+    lead = img.shape[:-1]
+    x = img.reshape((-1, 1, img.shape[-1]))  # (N, C=1, W)
+    w = kernel.reshape((1, 1, k)).astype(img.dtype)  # (O, I, K)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        # Full f32: TPU's default conv precision is bf16-ish, which would cost
+        # ~1e-3 relative error — too coarse for the <1e-3 warp-MSE parity target.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def sep_filter2d(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
+    """Separable 2-D correlation with REFLECT_101 borders, same-size output.
+
+    Equivalent to ``cv.sepFilter2D`` with the default border.  ``img`` is a 2-D
+    float array; ``kx``/``ky`` are odd-length 1-D kernels.
+    """
+    kx = jnp.asarray(kx, img.dtype)
+    ky = jnp.asarray(ky, img.dtype)
+    rh = (ky.shape[0] - 1) // 2
+    rw = (kx.shape[0] - 1) // 2
+    p = _reflect101_pad_2d(img, rh, rw)
+    p = _conv1d_lastdim(p, kx)  # along W
+    p = _conv1d_lastdim(p.T, ky).T  # along H
+    return p
+
+
+def gaussian_blur(img: jax.Array, ksize: int, sigma: float) -> jax.Array:
+    """``cv.GaussianBlur(img, (ksize, ksize), sigma)`` on float32 images."""
+    k = jnp.asarray(gaussian_kernel(ksize, sigma))
+    return sep_filter2d(img, k, k)
+
+
+def minmax_normalize_f32(img: jax.Array) -> jax.Array:
+    """``cv.normalize(img, None, 0, 1, NORM_MINMAX, CV_32F)``."""
+    img = img.astype(jnp.float32)
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    return (img - lo) * scale
+
+
+def minmax_normalize_u8(img: jax.Array) -> jax.Array:
+    """``cv.normalize(img, None, 0, 255, NORM_MINMAX, CV_8U)``.
+
+    Uses round-half-to-even (OpenCV's cvRound) before the saturate cast.
+    """
+    img = img.astype(jnp.float32)
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
+    scaled = (img - lo) * scale
+    return jnp.clip(jnp.round(scaled), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("low_sigma", "high_sigma"))
+def _dog_core(img: jax.Array, low_sigma: int, high_sigma: int) -> jax.Array:
+    fimg = minmax_normalize_f32(img)
+    ksize = low_sigma * 4 * 2 + 1  # reference: feature_registrator.py:301 "as in opencv"
+    ls = gaussian_blur(fimg, ksize, low_sigma)
+    hs = gaussian_blur(fimg, ksize, high_sigma)
+    return minmax_normalize_u8(hs - ls)
+
+
+def dog(img, use_it: bool = True, low_sigma: int = 5, high_sigma: int = 9):
+    """Difference-of-Gaussians preprocessing.
+
+    Mirrors the reference ``dog`` (feature_registrator.py:287-312 and
+    optflow_registrator.py:249-274): min-max to [0,1] float, blur with a fixed
+    ``low_sigma*8+1`` kernel at both sigmas, subtract, min-max to u8.
+    Returns the input unchanged when ``use_it`` is False or the image is empty.
+    """
+    if not use_it:
+        return img
+    img = jnp.asarray(img)
+    if int(jax.device_get(jnp.max(img))) == 0:
+        return img
+    return _dog_core(img, low_sigma, high_sigma)
+
+
+_PYR_KERNEL = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """``cv.pyrDown``: 5-tap [1,4,6,4,1]/16 Gaussian + 2x decimation.
+
+    Output size is ((H+1)//2, (W+1)//2); borders are REFLECT_101.
+    Matches reference pyramid construction (feature_registrator.py:152,
+    optflow_registrator.py:194).
+    """
+    orig_dtype = img.dtype
+    x = img.astype(jnp.float32)
+    k = jnp.asarray(_PYR_KERNEL)
+    y = sep_filter2d(x, k, k)
+    y = y[::2, ::2]
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        y = jnp.clip(jnp.round(y), info.min, info.max)
+    return y.astype(orig_dtype)
+
+
+def pyr_up(img: jax.Array, dstsize: tuple[int, int]) -> jax.Array:
+    """``cv.pyrUp(img, dstsize=(W, H))`` — zero-stuff 2x then blur with 4*kernel.
+
+    ``dstsize`` here is (H, W) (row-major, unlike OpenCV's (W, H) argument).
+    Supports the +-1 odd sizes OpenCV allows.  Works on 2-D images and on
+    (H, W, C) flow fields (each channel independently), matching the
+    reference's flow upscaling (optflow_registrator.py:140-169, 204-215).
+    """
+    dh, dw = dstsize
+    squeeze = img.ndim == 2
+    x = img.astype(jnp.float32)
+    if squeeze:
+        x = x[..., None]
+    h, w, c = x.shape
+    # Zero-stuffed canvas with a 2-pixel filter margin on each side.  The
+    # source is REFLECT_101-padded by 1 before stuffing so that the border
+    # taps see reflected samples like OpenCV does.
+    # OpenCV's pyrUp border behavior (verified empirically): REFLECT_101 on the
+    # leading (top/left) edges; on the trailing edges its separable passes
+    # disagree — plain REFLECT vertically (bottom) but REPLICATE horizontally
+    # (right).  Only the 2nd out-of-bounds tap distinguishes these, which odd
+    # dstsizes expose.
+    xp = jnp.pad(x, ((2, 0), (2, 0), (0, 0)), mode="reflect")
+    xp = jnp.pad(xp, ((0, 2), (0, 0), (0, 0)), mode="symmetric")
+    xp = jnp.pad(xp, ((0, 0), (0, 2), (0, 0)), mode="edge")
+    up = jnp.zeros(((h + 4) * 2, (w + 4) * 2, c), dtype=jnp.float32)
+    up = up.at[::2, ::2].set(xp)
+    k = jnp.asarray(_PYR_KERNEL) * 2.0
+    chans = jnp.moveaxis(up, -1, 0)  # (C, H2, W2)
+    y = _conv1d_lastdim(chans, k)
+    y = _conv1d_lastdim(jnp.swapaxes(y, -1, -2), k)
+    y = jnp.swapaxes(y, -1, -2)
+    y = jnp.moveaxis(y, 0, -1)
+    # With a 2-pixel reflected margin, stuffed source pixel i sits at output
+    # index 2i+2 after the VALID conv; crop so dst(2i, 2j) aligns with src(i, j).
+    y = y[2 : 2 + dh, 2 : 2 + dw]
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        info = jnp.iinfo(img.dtype)
+        y = jnp.clip(jnp.round(y), info.min, info.max)
+    y = y.astype(img.dtype)
+    if squeeze:
+        y = y[..., 0]
+    return y

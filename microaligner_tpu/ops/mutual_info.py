@@ -1,0 +1,131 @@
+"""Normalized mutual information scoring — the registration quality gate.
+
+TPU-native equivalent of ``sklearn.metrics.normalized_mutual_info_score``
+chunked as in the reference (shared_modules/similarity_scoring.py:27-68):
+images are flattened, split into ``tile_size**2``-element chunks, each chunk's
+NMI (arithmetic-mean normalization, natural log) is computed from a 256x256
+joint histogram, and the chunk scores are averaged.  Whole-image NMI is used
+when ``max(shape)/tile_size < 2`` — same gating as ``mi_tiled``.
+
+The joint histogram is built with a one-hot matmul so the reduction rides the
+MXU instead of a serialized scatter.  Counts are exact in float32 for chunks
+below 2**24 elements.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["nmi_u8", "mi_tiled", "mutual_information_test", "check_if_higher_similarity"]
+
+_BINS = 256
+
+
+def _joint_hist_256(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact 256x256 joint histogram of two flat u8 arrays via MXU matmuls."""
+    n = a.shape[0]
+    chunk = 1 << 13  # 8192-row one-hots keep the intermediates in VMEM range
+    pad = (-n) % chunk
+    av = jnp.pad(a.astype(jnp.int32), (0, pad), constant_values=0)
+    bv = jnp.pad(b.astype(jnp.int32), (0, pad), constant_values=0)
+    valid = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad), constant_values=0.0)
+    av = av.reshape(-1, chunk)
+    bv = bv.reshape(-1, chunk)
+    valid = valid.reshape(-1, chunk)
+
+    def body(carry, xs):
+        ai, bi, vi = xs
+        onea = (jax.nn.one_hot(ai, _BINS, dtype=jnp.float32) * vi[:, None])
+        oneb = jax.nn.one_hot(bi, _BINS, dtype=jnp.float32)
+        return carry + jnp.dot(onea.T, oneb, preferred_element_type=jnp.float32), None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros((_BINS, _BINS), jnp.float32), (av, bv, valid))
+    return hist
+
+
+def _entropy(p: jax.Array) -> jax.Array:
+    """Shannon entropy in nats; 0*log(0) := 0."""
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-30)), 0.0))
+
+
+@jax.jit
+def _nmi_from_hist(hist: jax.Array) -> jax.Array:
+    n = jnp.sum(hist)
+    pxy = hist / n
+    px = jnp.sum(pxy, axis=1)
+    py = jnp.sum(pxy, axis=0)
+    hx = _entropy(px)
+    hy = _entropy(py)
+    hxy = _entropy(pxy)
+    mi = hx + hy - hxy
+    mi = jnp.maximum(mi, 0.0)
+    denom = 0.5 * (hx + hy)
+    # sklearn convention: a single-cluster labeling on either side gives NMI=1
+    # when both are single-cluster (MI==0, denom==0 -> defined as 1.0); in
+    # practice sklearn returns 1.0 for identical constant arrays and ~0 when
+    # only one side is constant.  Guard the 0/0 case to 1.0 like sklearn.
+    return jnp.where(denom > 0, mi / jnp.maximum(denom, 1e-30), 1.0)
+
+
+def nmi_u8(a, b) -> float:
+    """Normalized mutual information of two u8 arrays (flattened)."""
+    a = jnp.asarray(a).reshape(-1)
+    b = jnp.asarray(b).reshape(-1)
+    return float(_nmi_from_hist(_joint_hist_256(a, b)))
+
+
+@functools.partial(jax.jit, static_argnames=("nchunks", "chunk"))
+def _chunked_mean_nmi(a: jax.Array, b: jax.Array, nchunks: int, chunk: int) -> jax.Array:
+    """Mean of per-chunk NMI over equal chunks; the last partial chunk is
+    handled by the caller (it is passed already split)."""
+    a2 = a[: nchunks * chunk].reshape(nchunks, chunk)
+    b2 = b[: nchunks * chunk].reshape(nchunks, chunk)
+
+    def one(ai, bi):
+        return _nmi_from_hist(_joint_hist_256(ai, bi))
+
+    return jax.lax.map(lambda xs: one(*xs), (a2, b2))
+
+
+def mi_tiled(arr1, arr2, tile_size: int) -> float:
+    """Chunked-mean NMI exactly mirroring ``mi_tiled``
+    (shared_modules/similarity_scoring.py:27-50): flatten row-major, split at
+    multiples of ``tile_size**2``, score each non-empty chunk, average."""
+    a = np.asarray(jax.device_get(arr1)).reshape(-1)
+    b = np.asarray(jax.device_get(arr2)).reshape(-1)
+    if max(arr1.shape) / tile_size < 2:
+        return nmi_u8(a, b)
+    chunk = tile_size * tile_size
+    nfull = a.size // chunk
+    scores: List[float] = []
+    if nfull > 0:
+        scores.extend(
+            np.asarray(
+                jax.device_get(
+                    _chunked_mean_nmi(jnp.asarray(a), jnp.asarray(b), nfull, chunk)
+                )
+            ).tolist()
+        )
+    rem = a.size - nfull * chunk
+    if rem > 0:
+        scores.append(nmi_u8(a[nfull * chunk :], b[nfull * chunk :]))
+    return float(np.mean(scores))
+
+
+def mutual_information_test(ref_arr, test_arr, init_arr, tile_size: int) -> Tuple[float, float]:
+    after = mi_tiled(ref_arr, test_arr, tile_size)
+    before = mi_tiled(ref_arr, init_arr, tile_size)
+    return after, before
+
+
+def check_if_higher_similarity(ref_arr, test_arr, init_arr, tile_size: int) -> List[bool]:
+    """Returns ``[MI(ref, test) > MI(ref, init)]`` — the accept/reject gate
+    used by both registrators (similarity_scoring.py:61-68)."""
+    after, before = mutual_information_test(ref_arr, test_arr, init_arr, tile_size)
+    print("    MI score after:", after, "| MI score before:", before)
+    return [after > before]

@@ -1,0 +1,161 @@
+"""Bilinear resampling: remap, affine warp, flow application & composition.
+
+TPU-native equivalents of ``cv.remap(INTER_LINEAR)`` / ``cv.warpAffine`` /
+``skimage.transform.warp`` (reference call sites: optflow_reg/warper.py:62-67,
+optflow_registrator.py:45, feature_registrator.py:118-132,
+shared_modules/utils.py:98-114).
+
+All sampling is float bilinear with BORDER_CONSTANT(0): taps that fall outside
+the source contribute zero, matching OpenCV's default border for remap and
+warpAffine.  OpenCV quantizes coordinates to 1/32 px internally; we keep full
+float precision (strictly more accurate), so comparisons against OpenCV
+goldens are tolerance-based.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microaligner_tpu.ops.pad import pad_to_shape
+
+__all__ = [
+    "bilinear_remap",
+    "warp_with_flow",
+    "affine_warp",
+    "compose_flows",
+    "transform_img_with_tmat",
+]
+
+
+def bilinear_remap(img: jax.Array, map_x: jax.Array, map_y: jax.Array) -> jax.Array:
+    """Sample ``img`` at float coordinates (map_y, map_x), zero outside.
+
+    ``img`` is (H, W) or (H, W, C); maps are (Ho, Wo).  Output is
+    (Ho, Wo[, C]) in float32.  Out-of-range *taps* read 0 (so a sample
+    straddling the border blends with zeros, like cv.remap BORDER_CONSTANT).
+    """
+    orig_dtype = img.dtype
+    squeeze = img.ndim == 2
+    x = img.astype(jnp.float32)
+    if squeeze:
+        x = x[..., None]
+    h, w, _ = x.shape
+
+    x0 = jnp.floor(map_x)
+    y0 = jnp.floor(map_y)
+    fx = (map_x - x0)[..., None]
+    fy = (map_y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        v = x[yc, xc]  # gather: (Ho, Wo, C)
+        return jnp.where(valid[..., None], v, 0.0)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    if squeeze:
+        out = out[..., 0]
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max).astype(orig_dtype)
+    return out
+
+
+@jax.jit
+def warp_with_flow(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Warp ``img`` by a flow field: out(p) = img(p - flow(p)).
+
+    Matches the reference Warper semantics (optflow_reg/warper.py:55-67):
+    the remap coordinates are ``-flow + meshgrid``.
+    ``flow`` is (H, W, 2) with channel 0 = x displacement, 1 = y displacement.
+    """
+    h, w = flow.shape[:2]
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    return bilinear_remap(img, gx - flow[..., 0], gy - flow[..., 1])
+
+
+@jax.jit
+def _remap_by_flow(arr: jax.Array, flow_map: jax.Array) -> jax.Array:
+    """cv.remap(arr, map=flow_map) where flow_map's channels are absolute x/y."""
+    return bilinear_remap(arr, flow_map[..., 0], flow_map[..., 1])
+
+
+@jax.jit
+def compose_flows(flow1: jax.Array, flow2: jax.Array) -> jax.Array:
+    """Compose two flow fields: ``flow1 + remap(flow2, -flow1 + grid)``.
+
+    Mirrors ``merge_two_flows`` (optflow_registrator.py:37-47) including its
+    short-circuits when either flow is all non-positive (the reference tests
+    ``flow.max() == 0``).
+    """
+    h, w = flow1.shape[:2]
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    sampled = bilinear_remap(flow2, gx - flow1[..., 0], gy - flow1[..., 1])
+    merged = flow1 + sampled
+    f1_zero = jnp.max(flow1) == 0
+    f2_zero = jnp.max(flow2) == 0
+    return jnp.where(f1_zero, flow2, jnp.where(f2_zero, flow1, merged))
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _affine_warp_core(img: jax.Array, inv_mat: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    gx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    src_x = inv_mat[0, 0] * gx + inv_mat[0, 1] * gy + inv_mat[0, 2]
+    src_y = inv_mat[1, 0] * gx + inv_mat[1, 1] * gy + inv_mat[1, 2]
+    return bilinear_remap(img, src_x, src_y)
+
+
+def affine_warp(img, t_mat, dsize: tuple[int, int] | None = None):
+    """``cv.warpAffine(img, t_mat, dsize)``: t_mat maps src coords -> dst coords.
+
+    ``t_mat`` is the forward 2x3 matrix; we invert it on the host (pinv of the
+    3x3 homogeneous form, handling singular matrices like the reference's
+    transform_img_with_tmat at shared_modules/utils.py:104-108) and gather.
+    ``dsize`` is (H, W); defaults to the input shape.
+    """
+    img = jnp.asarray(img)
+    t = np.asarray(jax.device_get(t_mat), dtype=np.float64)
+    hom = np.vstack([t, [0.0, 0.0, 1.0]])
+    inv = np.linalg.pinv(hom)
+    out_h, out_w = dsize if dsize is not None else img.shape[:2]
+    return _affine_warp_core(img, jnp.asarray(inv[:2], jnp.float32), out_h, out_w)
+
+
+def transform_img_with_tmat(img, target_shape, transform_matrix):
+    """Pad to target shape then apply the affine transform, preserving dtype.
+
+    Mirrors ``transform_img_with_tmat`` (shared_modules/utils.py:98-114):
+    identity matrices skip the warp entirely; non-identity warps go through
+    the pseudo-inverse + bilinear resampling path.
+    """
+    original_dtype = img.dtype
+    img, _ = pad_to_shape(img, tuple(target_shape))
+    identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    tm = np.asarray(jax.device_get(transform_matrix), dtype=np.float64)
+    if np.array_equal(tm, identity):
+        return np.asarray(jax.device_get(img)).astype(original_dtype)
+    out = affine_warp(jnp.asarray(img).astype(jnp.float32), tm)
+    out = np.asarray(jax.device_get(out))
+    # The reference truncates via ndarray.astype after the skimage warp
+    # (shared_modules/utils.py:110-112); bilinear output of a non-negative
+    # image stays in range, so a plain astype matches.
+    return out.astype(original_dtype)
