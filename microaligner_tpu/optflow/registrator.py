@@ -1,0 +1,234 @@
+"""OptFlowRegistrator — multi-scale tiled Farneback registration.
+
+Faithful re-design of the reference pyramid driver
+(optflow_reg/optflow_registrator.py:51-247): coarse-to-fine Gaussian pyramid,
+per-level tiled flow with DoG preprocessing, an NMI gate that accepts or
+rejects each level's flow, tile-wise flow composition and pyrUp upscaling.
+
+The accept/reject decisions are host-side scalars between device calls (cheap,
+and keeps the device graphs static); all dense math runs on TPU.
+
+Behavioral notes (SURVEY §7 "quirks"):
+* ``mov_img`` getter returning the ref image in the reference
+  (optflow_registrator.py:73-75) is a latent bug — fixed here: the getter
+  returns the moving image.
+* the reference upscales a rejected mid-level flow with ``pyrUp(m_flow*4)``
+  (optflow_registrator.py:169) where every other path uses ``*2``; this is a
+  probable bug, only reachable when the MI gate rejects a middle pyramid
+  level.  We default to the corrected ``*2`` and expose
+  ``replicate_reject_upscale_bug=True`` for bit-compat runs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microaligner_tpu.ops.filters import dog as _dog
+from microaligner_tpu.ops.filters import pyr_down, pyr_up
+from microaligner_tpu.ops.mutual_info import check_if_higher_similarity
+from microaligner_tpu.ops.warp import compose_flows
+from microaligner_tpu.optflow.flow_calc import TileFlowCalc
+from microaligner_tpu.optflow.warper import Warper
+from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
+from microaligner_tpu.utils.img_checks import (
+    check_img_dims_match,
+    check_img_is_2d_grey,
+    check_img_is_provided,
+)
+
+__all__ = ["OptFlowRegistrator", "merge_two_flows"]
+
+
+def merge_two_flows(flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
+    """Compose flow fields (optflow_registrator.py:37-47)."""
+    return np.asarray(jax.device_get(compose_flows(jnp.asarray(flow1), jnp.asarray(flow2))))
+
+
+class OptFlowRegistrator:
+    def __init__(self):
+        self._ref_img = np.array([])
+        self._mov_img = np.array([])
+        self.num_pyr_lvl = 4
+        self.num_iterations = 3
+        self.tile_size = 1000
+        self.overlap = 100
+        self.use_full_res_img = False
+        self.use_dog = False
+        self.replicate_reject_upscale_bug = False
+        self._warper = Warper()
+        self._tile_flow_calc = TileFlowCalc()
+
+    @property
+    def ref_img(self) -> np.ndarray:
+        return self._ref_img
+
+    @ref_img.setter
+    def ref_img(self, img: np.ndarray):
+        check_img_is_2d_grey(img, "ref")
+        self._ref_img = img
+
+    @property
+    def mov_img(self) -> np.ndarray:
+        return self._mov_img  # reference returns _ref_img here (bug); fixed
+
+    @mov_img.setter
+    def mov_img(self, img: np.ndarray):
+        check_img_is_2d_grey(img, "mov")
+        self._mov_img = img
+
+    def _init_components(self):
+        self._warper = Warper()
+        self._warper.tile_size = self.tile_size
+        self._warper.overlap = self.overlap
+        self._tile_flow_calc = TileFlowCalc()
+        self._tile_flow_calc.tile_size = self.tile_size
+        self._tile_flow_calc.overlap = self.overlap
+        self._tile_flow_calc.num_iter = self.num_iterations
+        # winsize tied to the halo width (optflow_registrator.py:91)
+        self._tile_flow_calc.win_size = self.overlap - (1 - self.overlap % 2)
+
+    def register(self) -> np.ndarray:
+        """Returns the full-resolution (H, W, 2) flow aligning mov to ref."""
+        check_img_is_provided(self._ref_img, "ref")
+        check_img_is_provided(self._mov_img, "mov")
+        check_img_dims_match(self._ref_img, self._mov_img)
+
+        self._init_components()
+        ref_pyr, factors = self._generate_img_pyr(self._ref_img)
+        mov_pyr, _ = self._generate_img_pyr(self._mov_img)
+
+        num_lvl = len(factors)
+        m_flow = None
+        for lvl, factor in enumerate(factors):
+            print("Pyramid factor", factor)
+            mov_this_lvl = mov_pyr[lvl].copy()
+
+            if lvl != 0:
+                self._warper.image = mov_this_lvl
+                self._warper.flow = m_flow
+                mov_this_lvl = self._warper.warp()
+
+            self._tile_flow_calc.ref_img = self._dog_np(ref_pyr[lvl], self.use_dog)
+            self._tile_flow_calc.mov_img = self._dog_np(mov_this_lvl, self.use_dog)
+            this_flow = self._tile_flow_calc.calc_flow()
+
+            self._warper.image = mov_this_lvl
+            self._warper.flow = this_flow
+            mov_warped = self._warper.warp()
+
+            is_higher_similarity = check_if_higher_similarity(
+                self._dog_np(ref_pyr[lvl], True),
+                self._dog_np(mov_warped, True),
+                self._dog_np(mov_pyr[lvl], True),
+                self.tile_size,
+            )
+
+            if any(is_higher_similarity):
+                print("    Better alignment than before")
+                if lvl == 0:
+                    if num_lvl > 1:
+                        m_flow = self._pyr_up_np(this_flow * 2, mov_pyr[lvl + 1].shape)
+                    else:
+                        m_flow = self._upscale_flow_to_full_res(this_flow, factor)
+                elif lvl == num_lvl - 1:
+                    m_flow = self._merge_list_of_flows([m_flow, this_flow])
+                    if not self.use_full_res_img:
+                        m_flow = self._upscale_flow_to_full_res(m_flow, factor)
+                else:
+                    m_flow = self._merge_list_of_flows([m_flow, this_flow])
+                    m_flow = self._pyr_up_np(m_flow * 2, mov_pyr[lvl + 1].shape)
+            else:
+                print("    Worse alignment than before")
+                if lvl == 0:
+                    if num_lvl > 1:
+                        shape = list(mov_pyr[lvl + 1].shape)
+                    else:
+                        shape = list(self._mov_img.shape)
+                    m_flow = np.zeros(shape + [2], dtype=np.float32)
+                elif lvl == num_lvl - 1:
+                    if not self.use_full_res_img:
+                        m_flow = self._pyr_up_np(m_flow * 2, self._mov_img.shape)
+                else:
+                    mult = 4 if self.replicate_reject_upscale_bug else 2
+                    m_flow = self._pyr_up_np(m_flow * mult, mov_pyr[lvl + 1].shape)
+
+        return m_flow
+
+    # -- helpers -----------------------------------------------------------
+
+    @staticmethod
+    def _dog_np(img: np.ndarray, use_it: bool) -> np.ndarray:
+        return np.asarray(jax.device_get(_dog(img, use_it)))
+
+    @staticmethod
+    def _pyr_up_np(flow: np.ndarray, dst_shape) -> np.ndarray:
+        return np.asarray(
+            jax.device_get(pyr_up(jnp.asarray(flow), (int(dst_shape[0]), int(dst_shape[1]))))
+        )
+
+    def _generate_img_pyr(self, arr: np.ndarray) -> Tuple[List[np.ndarray], List[int]]:
+        """Smallest-first pyramid; stop when a dim would drop below 100 px
+        (optflow_registrator.py:175-202)."""
+        if self.num_pyr_lvl < 0:
+            raise ValueError("Number of pyramid levels cannot be less than 0")
+        if self.num_pyr_lvl == 0 and not self.use_full_res_img:
+            raise ValueError(
+                "Number of pyramid levels is 0 and use_full_res_img is False. "
+                "Please change one of the parameters"
+            )
+        pyramid: List[np.ndarray] = []
+        factors: List[int] = []
+        pyr_lvl = arr
+        for lvl in range(self.num_pyr_lvl):
+            factor = 2 ** (lvl + 1)
+            if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
+                break
+            pyr_lvl = np.asarray(jax.device_get(pyr_down(jnp.asarray(pyr_lvl))))
+            pyramid.append(pyr_lvl)
+            factors.append(factor)
+        factors = list(reversed(factors))
+        pyramid = list(reversed(pyramid))
+        if self.use_full_res_img:
+            pyramid.append(arr)
+            factors.append(1)
+        return pyramid, factors
+
+    def _upscale_flow_to_full_res(self, flow: np.ndarray, pyramid_factor: int) -> np.ndarray:
+        """Chain of pyrUps to full resolution (optflow_registrator.py:204-215).
+
+        NOTE: the reference's loop re-upscales from the ORIGINAL flow on the
+        last step (a quirk at :211 — intermediate pyrUps are discarded), so
+        effectively one pyrUp from `flow` to the final size; values are NOT
+        doubled here (that is the caller's job).  Replicated exactly.
+        """
+        if abs(flow.shape[0] - self._ref_img.shape[0]) <= 1:
+            return flow
+        import math
+
+        num_lvls = int(math.log2(pyramid_factor))
+        upscaled = flow
+        for i in range(num_lvls):
+            if i == num_lvls - 1:
+                upscaled = self._pyr_up_np(flow, self._ref_img.shape)
+            else:
+                h, w = upscaled.shape[:2]
+                upscaled = self._pyr_up_np(upscaled, (h * 2, w * 2))
+        return upscaled
+
+    def _merge_flow_in_tiles(self, flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
+        """Tile-wise flow composition (optflow_registrator.py:217-233)."""
+        grid = TileGrid.for_image(flow1.shape, self.tile_size, self.overlap)
+        f1 = split_into_tiles(jnp.asarray(flow1), grid)
+        f2 = split_into_tiles(jnp.asarray(flow2), grid)
+        merged = jax.vmap(compose_flows)(f1, f2)
+        return np.asarray(jax.device_get(stitch_tiles(merged, grid)))
+
+    def _merge_list_of_flows(self, flow_list: List[np.ndarray]) -> np.ndarray:
+        m_flow = flow_list[0]
+        for nxt in flow_list[1:]:
+            m_flow = self._merge_flow_in_tiles(m_flow, nxt)
+        return m_flow

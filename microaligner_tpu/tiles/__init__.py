@@ -1,0 +1,11 @@
+"""Static-shape tiling with halo overlap — the TPU analog of the reference's
+slicer/stitcher (shared_modules/slicer.py, stitcher.py).
+
+Tiles become a leading array axis (ny*nx, T, T) instead of a Python list, so
+per-tile work is a ``vmap``/``shard_map`` over that axis rather than a dask
+process pool (SURVEY §2.9, §5.8).
+"""
+
+from microaligner_tpu.tiles.slicer import TileGrid, split_into_tiles, stitch_tiles
+
+__all__ = ["TileGrid", "split_into_tiles", "stitch_tiles"]

@@ -1,0 +1,137 @@
+"""Tiled flow calc, Warper, and the full OptFlowRegistrator pipeline."""
+
+import cv2 as cv
+import numpy as np
+import pytest
+
+from microaligner_tpu.optflow import OptFlowRegistrator, TileFlowCalc, Warper
+
+
+def _textured(rng, h, w, sigma=2.5):
+    img = cv.GaussianBlur(rng.random((h, w), dtype=np.float32), (0, 0), sigma)
+    return cv.normalize(img, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+
+
+class TestTileFlowCalc:
+    def test_whole_image_path_matches_cv(self, rng):
+        ref = _textured(rng, 150, 160)
+        ys, xs = np.mgrid[0:150, 0:160].astype(np.float32)
+        mov = cv.remap(ref, xs + 1.5, ys - 1.0, cv.INTER_LINEAR)
+        calc = TileFlowCalc()
+        calc.tile_size = 1000  # max_dim/tile < 2 -> whole image
+        calc.win_size = 51
+        calc.num_iter = 3
+        calc.ref_img = ref
+        calc.mov_img = mov
+        flow = calc.calc_flow()
+        theirs = cv.calcOpticalFlowFarneback(
+            mov, ref, None, 0.5, 0, 51, 3, 1, 1.7, cv.OPTFLOW_FARNEBACK_GAUSSIAN)
+        assert np.abs(flow - theirs).mean() < 1e-3
+
+    def test_tiled_path_matches_reference_semantics(self, rng):
+        # tiled == per-tile cv farneback stitched (flow_calc.py:66-84)
+        ref = _textured(rng, 260, 300)
+        ys, xs = np.mgrid[0:260, 0:300].astype(np.float32)
+        mov = cv.remap(ref, xs + 1.2, ys + 0.8, cv.INTER_LINEAR)
+        calc = TileFlowCalc()
+        calc.tile_size = 120
+        calc.overlap = 40
+        calc.win_size = 39
+        calc.num_iter = 2
+        calc.ref_img = ref
+        calc.mov_img = mov
+        ours = calc.calc_flow()
+        assert ours.shape == (260, 300, 2)
+        # recovered motion approximately (-1.2, -0.8)? flow maps mov->ref:
+        # mov(p) ~ ref(p + flow) and mov = ref shifted by (+1.2, +0.8) sample
+        # coords, i.e. mov(p) = ref(p + (1.2, 0.8)) -> flow ~ (1.2, 0.8)
+        inner = ours[60:-60, 60:-60]
+        assert abs(np.median(inner[..., 0]) - 1.2) < 0.2
+        assert abs(np.median(inner[..., 1]) - 0.8) < 0.2
+
+
+class TestWarper:
+    def test_warp_inverts_translation(self, rng):
+        img = _textured(rng, 200, 220)
+        ys, xs = np.mgrid[0:200, 0:220].astype(np.float32)
+        mov = cv.remap(img, xs + 3.0, ys, cv.INTER_LINEAR)  # mov(p)=img(p+3)
+        flow = np.zeros((200, 220, 2), np.float32)
+        flow[..., 0] = 3.0  # out(p) = mov(p - flow) = mov(p-3) = img(p)
+        w = Warper()
+        w.image = mov
+        w.flow = flow
+        out = w.warp()
+        assert out.dtype == img.dtype
+        inner = (slice(20, -20), slice(20, -20))
+        assert np.abs(out[inner].astype(int) - img[inner].astype(int)).mean() < 2.0
+
+    def test_matches_reference_tiled_remap(self, rng):
+        img = _textured(rng, 150, 170).astype(np.float32)
+        flow = (rng.random((150, 170, 2), dtype=np.float32) - 0.5) * 8
+        w = Warper()
+        w.tile_size = 60
+        w.overlap = 20
+        w.image = img.copy()
+        w.flow = flow.copy()
+        ours = w.warp()
+        # reference semantics: per-tile remap with -flow + meshgrid, stitched
+        from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
+        import jax.numpy as jnp
+        grid = TileGrid.for_image(img.shape, 60, 20)
+        img_t = np.asarray(split_into_tiles(jnp.asarray(img), grid))
+        flow_t = np.asarray(split_into_tiles(jnp.asarray(flow), grid))
+        warped = []
+        for t in range(img_t.shape[0]):
+            f = flow_t[t]
+            h, wd = f.shape[:2]
+            nf = -f.copy()
+            nf[..., 0] += np.arange(wd)
+            nf[..., 1] += np.arange(h).reshape(-1, 1)
+            warped.append(cv.remap(img_t[t], nf, None, cv.INTER_LINEAR))
+        theirs = np.asarray(stitch_tiles(jnp.asarray(np.stack(warped)), grid))
+        assert np.mean((ours - theirs) ** 2) < 1.0
+
+
+class TestOptFlowRegistrator:
+    def test_registers_sinusoidal_warp(self, rng):
+        ref = _textured(rng, 420, 440, sigma=3.0)
+        ys, xs = np.mgrid[0:420, 0:440].astype(np.float32)
+        mx = xs + 3.0 * np.sin(ys / 60)
+        my = ys + 2.0 * np.cos(xs / 55)
+        mov = cv.remap(ref, mx, my, cv.INTER_LINEAR)
+
+        reg = OptFlowRegistrator()
+        reg.num_pyr_lvl = 2
+        reg.num_iterations = 3
+        reg.tile_size = 220
+        reg.overlap = 50
+        reg.use_full_res_img = True
+        reg.ref_img = ref
+        reg.mov_img = mov
+        flow = reg.register()
+        assert flow.shape == (420, 440, 2)
+
+        w = Warper()
+        w.tile_size = 220
+        w.overlap = 50
+        w.image = mov
+        w.flow = flow
+        warped = w.warp()
+        inner = (slice(40, -40), slice(40, -40))
+        before = np.mean((mov[inner].astype(float) - ref[inner].astype(float)) ** 2)
+        after = np.mean((warped[inner].astype(float) - ref[inner].astype(float)) ** 2)
+        assert after < before * 0.25, f"before={before}, after={after}"
+
+    def test_mov_getter_fixed(self, rng):
+        reg = OptFlowRegistrator()
+        a = _textured(rng, 120, 120)
+        b = _textured(rng, 120, 120)
+        reg.ref_img = a
+        reg.mov_img = b
+        assert reg.mov_img is b  # reference bug (returns ref) is fixed
+        assert reg.ref_img is a
+
+    def test_rejects_3d_input(self):
+        reg = OptFlowRegistrator()
+        with pytest.raises(ValueError):
+            reg.ref_img = np.zeros((4, 5, 3), np.uint8)
