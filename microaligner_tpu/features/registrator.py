@@ -1,0 +1,236 @@
+"""FeatureRegistrator — multi-scale iterative affine registration.
+
+Faithful re-design of the reference driver
+(feature_reg/feature_registrator.py:36-312): Gaussian pyramid
+(coarse-to-fine, factors like [8, 4, 2]), cached reference-pyramid features,
+per-level iterative alignment with an NMI gate and transform-validity checks
+(scale bounds via QR-style decomposition, transformed center inside borders),
+homogeneous matrix composition with translation rescaling across levels.
+
+Host control flow drives device compute: gates are host scalars, dense work
+(FAST/DAISY/knn/RANSAC/warps/MI) is XLA.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microaligner_tpu.features.tile_features import Features, find_features, register_img_pair
+from microaligner_tpu.ops.filters import dog as _dog
+from microaligner_tpu.ops.filters import pyr_down
+from microaligner_tpu.ops.mutual_info import check_if_higher_similarity
+from microaligner_tpu.ops.warp import affine_warp
+from microaligner_tpu.utils.img_checks import (
+    check_img_dims_match,
+    check_img_is_2d_grey,
+    check_img_is_provided,
+)
+
+__all__ = ["FeatureRegistrator"]
+
+
+class FeatureRegistrator:
+    def __init__(self):
+        self._ref_img = np.array([])
+        self._mov_img = np.array([])
+        self.num_pyr_lvl = 3
+        self.num_iterations = 3
+        self.tile_size = 1000
+        self.use_full_res_img = False
+        self.use_dog = True
+        self._ref_pyr_features: List[Features] = []
+        self._ref_img_pyr: List[np.ndarray] = []
+        self._factors = [8, 4, 2]
+        self._this_pyr_factor = 1
+
+    @property
+    def ref_img(self) -> np.ndarray:
+        return self._ref_img
+
+    @ref_img.setter
+    def ref_img(self, img: np.ndarray):
+        check_img_is_2d_grey(img, "ref")
+        self._ref_img = img
+        self._ref_pyr_features = []  # invalidate the cache
+
+    @property
+    def mov_img(self) -> np.ndarray:
+        return self._mov_img  # reference returns _ref_img here (bug); fixed
+
+    @mov_img.setter
+    def mov_img(self, img: np.ndarray):
+        check_img_is_2d_grey(img, "mov")
+        self._mov_img = img
+
+    # -- public API ---------------------------------------------------------
+
+    def calc_ref_img_features(self):
+        self._ref_img_pyr, self._factors = self._generate_img_pyr(self._ref_img)
+        self._ref_pyr_features = [
+            find_features(self._dog_np(lvl, self.use_dog), self.tile_size)
+            for lvl in self._ref_img_pyr
+        ]
+
+    def register(self, reuse_ref_img: bool = False) -> np.ndarray:
+        """One mov/ref pair -> 2x3 affine matrix mapping mov coords to ref."""
+        check_img_is_provided(self._ref_img, "ref")
+        check_img_is_provided(self._mov_img, "mov")
+        check_img_dims_match(self._ref_img, self._mov_img)
+
+        if not (reuse_ref_img and self._ref_pyr_features):
+            self.calc_ref_img_features()
+
+        mov_img_pyrs, _ = self._generate_img_pyr(self._mov_img)
+
+        fullscale_t_mat_list: List[np.ndarray] = []
+        for i, factor in enumerate(self._factors):
+            print("Pyramid factor", factor)
+            self._this_pyr_factor = factor
+            if i == 0:
+                mov_lvl = mov_img_pyrs[i]
+            else:
+                rescaled = [self._rescale_t_mat(m, 1 / factor) for m in fullscale_t_mat_list]
+                this_scale_t_mat = self._multiply_transform_matrices(rescaled)
+                mov_lvl = self.transform_img(mov_img_pyrs[i], this_scale_t_mat)
+            _, t_mat = self._iterative_alignment(
+                self._ref_img_pyr[i], self._ref_pyr_features[i], mov_lvl
+            )
+            fullscale_t_mat_list.append(self._rescale_t_mat(t_mat, factor))
+        return self._multiply_transform_matrices(fullscale_t_mat_list)
+
+    def transform_img(self, img: np.ndarray, t_mat: np.ndarray) -> np.ndarray:
+        """Affine-warp preserving dtype.  One bilinear path for every size —
+        the reference's >32k warpAffine/skimage split (feature_registrator.py
+        :118-132) is unnecessary with tiled XLA gathers."""
+        out = affine_warp(jnp.asarray(img).astype(jnp.float32), t_mat)
+        out = np.asarray(jax.device_get(out))
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)
+            out = np.clip(np.round(out), info.min, info.max)
+        return out.astype(img.dtype)
+
+    # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _dog_np(img: np.ndarray, use_it: bool) -> np.ndarray:
+        return np.asarray(jax.device_get(_dog(img, use_it)))
+
+    def _generate_img_pyr(self, arr: np.ndarray) -> Tuple[List[np.ndarray], List[int]]:
+        if self.num_pyr_lvl < 0:
+            raise ValueError("Number of pyramid levels cannot be less than 0")
+        if self.num_pyr_lvl == 0 and not self.use_full_res_img:
+            raise ValueError(
+                "Number of pyramid levels is 0 and use_full_res_img is False. "
+                "Please change one of the parameters"
+            )
+        pyramid: List[np.ndarray] = []
+        factors: List[int] = []
+        pyr_lvl = arr
+        for lvl in range(self.num_pyr_lvl):
+            factor = 2 ** (lvl + 1)
+            if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
+                break
+            pyr_lvl = np.asarray(jax.device_get(pyr_down(jnp.asarray(pyr_lvl))))
+            pyramid.append(pyr_lvl)
+            factors.append(factor)
+        factors = list(reversed(factors))
+        pyramid = list(reversed(pyramid))
+        if self.use_full_res_img:
+            pyramid.append(arr)
+            factors.append(1)
+        return pyramid, factors
+
+    def _iterative_alignment(
+        self, ref_img: np.ndarray, ref_features: Features, mov_img: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.num_iterations < 1:
+            raise ValueError("Number of iterations cannot be less than 1")
+        t_matrices: List[np.ndarray] = []
+        aligned_img = mov_img.copy()
+        for i in range(self.num_iterations):
+            print("    Iteration", i + 1, "/", self.num_iterations)
+            mov_img_aligned, est_t_mat = self._align_imgs(ref_features, aligned_img)
+
+            is_more_similar = check_if_higher_similarity(
+                self._dog_np(ref_img, True),
+                self._dog_np(mov_img_aligned, True),
+                self._dog_np(aligned_img, True),
+                self.tile_size,
+            )
+            is_valid = self._check_if_valid_transform(est_t_mat, mov_img.shape)
+
+            if any(is_more_similar) and is_valid:
+                print("    Better alignment than before")
+                t_matrices.append(est_t_mat)
+                # realign from the ORIGINAL mov with the composed matrix
+                # (feature_registrator.py:186) to avoid resampling build-up
+                aligned_img = self.transform_img(
+                    mov_img, self._multiply_transform_matrices(t_matrices)
+                )
+            else:
+                print("    Worse alignment than before")
+                t_matrices.append(np.eye(2, 3))
+        return aligned_img, self._multiply_transform_matrices(t_matrices)
+
+    def _align_imgs(
+        self, ref: Union[np.ndarray, Features], mov_img: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if not isinstance(ref, Features):
+            ref_features = find_features(self._dog_np(ref, self.use_dog), self.tile_size)
+        else:
+            ref_features = ref
+        mov_features = find_features(self._dog_np(mov_img, self.use_dog), self.tile_size)
+        transform_mat = register_img_pair(ref_features, mov_features)
+        if np.array_equal(transform_mat, np.eye(2, 3)):
+            return mov_img, np.eye(2, 3)
+        return self.transform_img(mov_img, transform_mat), transform_mat
+
+    @staticmethod
+    def _multiply_transform_matrices(mat_list: List[np.ndarray]) -> np.ndarray:
+        if len(mat_list) == 1:
+            return mat_list[0]
+        hom = [np.vstack([m, [0, 0, 1]]) for m in mat_list]
+        res = hom[0]
+        for m in hom[1:]:
+            res = res @ m
+        return res[:2, :]
+
+    @staticmethod
+    def _rescale_t_mat(t_mat: np.ndarray, scale: float) -> np.ndarray:
+        out = t_mat.copy()
+        out[0, 2] *= scale
+        out[1, 2] *= scale
+        return out
+
+    def _check_if_valid_transform(self, t_mat, img_shape) -> bool:
+        return self._check_if_inside_borders(t_mat, img_shape) and self._check_if_proper_scale(t_mat)
+
+    @staticmethod
+    def _check_if_proper_scale(t_mat) -> bool:
+        """Scale within [0.3, 3] via 2-D transform decomposition
+        (feature_registrator.py:240-266)."""
+        a, b, c, d = t_mat[0, 0], t_mat[1, 0], t_mat[0, 1], t_mat[1, 1]
+        det = a * d - b * c
+        if a != 0 or b != 0:
+            r = np.sqrt(a * a + b * b)
+            scale = (r, det / r)
+        elif c != 0 or d != 0:
+            s = np.sqrt(c * c + d * d)
+            scale = (det / s, s)
+        else:
+            return False
+        return 0.3 <= abs(scale[0]) <= 3 and 0.3 <= abs(scale[1]) <= 3
+
+    @staticmethod
+    def _check_if_inside_borders(t_mat, img_shape) -> bool:
+        """Transformed image center stays inside the image
+        (feature_registrator.py:268-278)."""
+        cy, cx = img_shape[0] // 2, img_shape[1] // 2
+        hom = np.vstack([t_mat, [0, 0, 1]])
+        center = hom @ np.array([cx, cy, 1.0])
+        border = np.array([img_shape[1], img_shape[0], 1.0])
+        return not np.any(border - np.abs(center) < 0)

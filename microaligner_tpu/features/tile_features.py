@@ -1,0 +1,122 @@
+"""Tiled feature extraction and image-pair registration.
+
+Mirrors the reference's tile_registration.py + feature_detection.py flow:
+the image is split into tiles with a 51-px halo, FAST corners are detected on
+each tile's interior view, DAISY descriptors are computed on the halo tile at
+interior coords (preserving the reference's consistent sampling-offset quirk,
+feature_detection.py:106-108), keypoints are shifted to global coords, and a
+partial-affine transform is fit on ratio-filtered exact-knn matches.
+
+The dask per-tile pool (feature_detection.py:161-168) becomes a sequential
+``lax.map`` over a static tile axis (one compiled program, bounded memory);
+the per-tile feature budget ``min(1_000_000 // n_tiles, 5000)`` is preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microaligner_tpu.features.daisy import daisy_at_points
+from microaligner_tpu.features.fast import fast_detect_topk
+from microaligner_tpu.features.match import match_descriptors
+from microaligner_tpu.features.ransac import estimate_affine_partial_2d
+from microaligner_tpu.tiles import TileGrid, split_into_tiles
+
+__all__ = ["Features", "find_features", "register_img_pair", "match_features"]
+
+_HALO = 51  # reference overlap for the feature path (tile_registration.py:33)
+
+
+class Features:
+    """Fixed-capacity keypoint set: coords (N, 2) [x, y] global, descriptors
+    (N, D), validity mask (N,).  The analog of the reference's ``Features``
+    container (feature_detection.py:27-81)."""
+
+    def __init__(self, coords=None, descriptors=None, valid=None, responses=None):
+        self.coords = coords
+        self.descriptors = descriptors
+        self.valid = valid
+        self.responses = responses
+
+    def is_valid(self) -> bool:
+        if self.coords is None or self.descriptors is None:
+            return False
+        return int(np.sum(np.asarray(self.valid))) >= 3
+
+    @property
+    def num_valid(self) -> int:
+        return 0 if self.valid is None else int(np.sum(np.asarray(self.valid)))
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "k_per_tile"))
+def _find_features_tiled(img: jax.Array, grid: TileGrid, k_per_tile: int):
+    tiles = split_into_tiles(img, grid)  # (N, ts+102, ts+102)
+
+    def per_tile(tile):
+        interior = tile[_HALO:-_HALO, _HALO:-_HALO]
+        coords, resp, valid = fast_detect_topk(interior, k_per_tile, threshold=1)
+        # DAISY sampled on the halo tile at interior coords — the reference's
+        # consistent (-51, -51) offset; cancels between ref and mov.
+        desc = daisy_at_points(tile.astype(jnp.float32), coords)
+        return coords, desc, valid, resp
+
+    coords, desc, valid, resp = jax.lax.map(per_tile, tiles)
+
+    # shift tile-local coords to global (tile_registration.py:53-66)
+    tids = jnp.arange(grid.num_tiles)
+    ox = (tids % grid.nx * grid.tile_w).astype(jnp.float32)
+    oy = (tids // grid.nx * grid.tile_h).astype(jnp.float32)
+    coords = coords + jnp.stack([ox, oy], axis=-1)[:, None, :]
+
+    n = grid.num_tiles * k_per_tile
+    return (
+        coords.reshape(n, 2),
+        desc.reshape(n, -1),
+        valid.reshape(n),
+        resp.reshape(n),
+    )
+
+
+def find_features(img, tile_size: int) -> Features:
+    """Global feature set of a 2-D image (reference tile_registration.py:78-92)."""
+    img = jnp.asarray(img)
+    if int(jax.device_get(jnp.max(img))) == 0:
+        return Features()
+    grid = TileGrid.for_image(img.shape, tile_size, _HALO)
+    k = min(1_000_000 // grid.num_tiles, 5000)
+    coords, desc, valid, resp = _find_features_tiled(img, grid, k)
+    return Features(coords, desc, valid, resp)
+
+
+def match_features(ref_features: Features, mov_features: Features, seed: int = 0):
+    """Transform matrix mov -> ref from matched features
+    (reference feature_detection.py:121-158)."""
+    if not ref_features.is_valid() or not mov_features.is_valid():
+        return np.eye(2, 3)
+    good, ref_idx = match_descriptors(
+        ref_features.descriptors,
+        mov_features.descriptors,
+        ref_features.valid,
+        mov_features.valid,
+    )
+    good_np = np.asarray(jax.device_get(good))
+    n_good = int(good_np.sum())
+    n_total = int(np.sum(np.asarray(jax.device_get(mov_features.valid))))
+    print("    Good matches", n_good, "/", n_total)
+    if n_good < 3:
+        return np.eye(2, 3)
+    src = np.asarray(jax.device_get(mov_features.coords))  # from: mov
+    dst = np.asarray(jax.device_get(ref_features.coords))[
+        np.asarray(jax.device_get(ref_idx))
+    ]  # to: ref
+    tmat, _ = estimate_affine_partial_2d(src, dst, valid=good_np, seed=seed)
+    return tmat
+
+
+def register_img_pair(ref_features: Features, mov_features: Features):
+    return match_features(ref_features, mov_features)

@@ -1,0 +1,135 @@
+"""Feature engine tests: FAST goldens, DAISY properties, matching, RANSAC,
+and the full FeatureRegistrator on synthetic transforms."""
+
+import cv2 as cv
+import numpy as np
+import pytest
+
+from microaligner_tpu.features import FeatureRegistrator, find_features, match_features
+from microaligner_tpu.features.fast import fast_score_map
+from microaligner_tpu.features.daisy import daisy_at_points, DAISY_DIM
+from microaligner_tpu.features.ransac import estimate_affine_partial_2d
+
+
+def _textured(rng, h, w, sigma=1.5):
+    img = cv.GaussianBlur(rng.random((h, w), dtype=np.float32), (0, 0), sigma)
+    return cv.normalize(img, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+
+
+class TestFast:
+    @pytest.mark.parametrize("seed,shape", [(1, (120, 130)), (7, (200, 180))])
+    def test_exact_vs_opencv(self, seed, shape):
+        rng = np.random.default_rng(seed)
+        img = _textured(rng, *shape)
+        det = cv.FastFeatureDetector_create(
+            threshold=1, nonmaxSuppression=True, type=cv.FAST_FEATURE_DETECTOR_TYPE_9_16)
+        cvset = {(int(k.pt[0]), int(k.pt[1])): k.response for k in det.detect(img)}
+        s = np.asarray(fast_score_map(img))
+        ourset = {(x, y): float(s[y, x]) for y, x in zip(*np.nonzero(s))}
+        assert set(cvset) == set(ourset)
+        assert all(abs(cvset[c] - ourset[c]) < 0.5 for c in cvset)
+
+
+class TestDaisy:
+    def test_shape_and_determinism(self, rng):
+        img = _textured(rng, 160, 150)
+        pts = np.array([[60.0, 70.0], [80.5, 40.25], [30.0, 100.0]], np.float32)
+        d1 = np.asarray(daisy_at_points(img.astype(np.float32), pts))
+        d2 = np.asarray(daisy_at_points(img.astype(np.float32), pts))
+        assert d1.shape == (3, DAISY_DIM)
+        np.testing.assert_array_equal(d1, d2)
+        assert np.all(d1 >= 0)  # rectified gradients stay non-negative
+
+    def test_translation_covariance(self, rng):
+        # descriptor at p in img == descriptor at p+t in translated img
+        img = _textured(rng, 200, 200)
+        t = 17
+        shifted = np.roll(img, (t, t), axis=(0, 1))
+        p = np.array([[90.0, 95.0]], np.float32)
+        d0 = np.asarray(daisy_at_points(img.astype(np.float32), p))
+        d1 = np.asarray(daisy_at_points(shifted.astype(np.float32), p + t))
+        np.testing.assert_allclose(d0, d1, rtol=1e-4, atol=1e-4)
+
+    def test_discriminative(self, rng):
+        img = _textured(rng, 200, 200)
+        pts = np.stack([rng.uniform(40, 160, 20), rng.uniform(40, 160, 20)], -1).astype(np.float32)
+        d = np.asarray(daisy_at_points(img.astype(np.float32), pts))
+        dist = np.linalg.norm(d[:, None] - d[None, :], axis=-1)
+        off_diag = dist[~np.eye(20, dtype=bool)]
+        assert off_diag.min() > 0  # distinct locations -> distinct descriptors
+
+
+class TestRansac:
+    def test_recovers_similarity(self, rng):
+        n = 300
+        src = rng.uniform(0, 1000, (n, 2)).astype(np.float32)
+        ang, s, tx, ty = 0.05, 1.02, 12.0, -7.0
+        a, b = s * np.cos(ang), s * np.sin(ang)
+        dst = np.stack([a * src[:, 0] - b * src[:, 1] + tx,
+                        b * src[:, 0] + a * src[:, 1] + ty], -1)
+        dst += rng.normal(0, 0.5, dst.shape)  # inlier noise
+        out = rng.choice(n, 60, replace=False)  # 20% outliers
+        dst[out] += rng.uniform(-300, 300, (60, 2))
+        tmat, count = estimate_affine_partial_2d(src, dst)
+        theirs, _ = cv.estimateAffinePartial2D(
+            src.reshape(-1, 1, 2), dst.astype(np.float32).reshape(-1, 1, 2),
+            method=cv.RANSAC, confidence=0.99)
+        np.testing.assert_allclose(tmat, [[a, -b, tx], [b, a, ty]], atol=0.3)
+        np.testing.assert_allclose(tmat, theirs, atol=0.3)
+        assert count > 200
+
+    def test_degenerate_returns_identity(self):
+        tmat, count = estimate_affine_partial_2d(np.zeros((5, 2)), np.zeros((5, 2)),
+                                                 valid=np.zeros(5, bool))
+        np.testing.assert_array_equal(tmat, np.eye(2, 3))
+        assert count == 0
+
+
+class TestEndToEnd:
+    def test_find_features_on_blank(self):
+        f = find_features(np.zeros((200, 200), np.uint8), 1000)
+        assert not f.is_valid()
+
+    def test_match_recovers_translation(self, rng):
+        ref = _textured(rng, 300, 320, sigma=2.0)
+        t = np.float32([[1, 0, 6.0], [0, 1, -4.0]])
+        mov = cv.warpAffine(ref, t, (320, 300))
+        fr = find_features(ref, 1000)
+        fm = find_features(mov, 1000)
+        assert fr.is_valid() and fm.is_valid()
+        tmat = match_features(fr, fm)
+        # tmat maps mov -> ref: inverse of the applied forward transform
+        np.testing.assert_allclose(tmat[:, 2], [-6.0, 4.0], atol=0.5)
+        np.testing.assert_allclose(tmat[:2, :2], np.eye(2), atol=0.02)
+
+    def test_registrator_recovers_rotation_translation(self, rng):
+        ref = _textured(rng, 420, 440, sigma=2.0)
+        fwd = cv.getRotationMatrix2D((220.0, 210.0), 1.5, 1.0)
+        fwd[0, 2] += 8.0
+        fwd[1, 2] -= 5.0
+        mov = cv.warpAffine(ref, fwd, (440, 420))
+
+        reg = FeatureRegistrator()
+        reg.num_pyr_lvl = 1
+        reg.num_iterations = 2
+        reg.tile_size = 500
+        reg.use_full_res_img = True
+        reg.ref_img = ref
+        reg.mov_img = mov
+        tmat = reg.register()
+
+        # applying tmat to mov should reproduce ref
+        out = reg.transform_img(mov, tmat)
+        inner = (slice(50, -50), slice(50, -50))
+        before = np.mean((mov[inner].astype(float) - ref[inner].astype(float)) ** 2)
+        after = np.mean((out[inner].astype(float) - ref[inner].astype(float)) ** 2)
+        assert after < before * 0.1, f"before={before}, after={after}"
+
+    def test_validity_gates(self):
+        reg = FeatureRegistrator()
+        assert not reg._check_if_proper_scale(np.array([[5.0, 0, 0], [0, 5.0, 0]]))
+        assert not reg._check_if_proper_scale(np.array([[0.1, 0, 0], [0, 0.1, 0]]))
+        assert reg._check_if_proper_scale(np.eye(2, 3))
+        assert reg._check_if_inside_borders(np.eye(2, 3), (100, 100))
+        big_shift = np.array([[1.0, 0, 500.0], [0, 1.0, 0]])
+        assert not reg._check_if_inside_borders(big_shift, (100, 100))
