@@ -1,0 +1,101 @@
+"""TIFF stack tests: writer/reader roundtrip, cv2-written LZW files, OME."""
+
+import cv2 as cv
+import numpy as np
+import pytest
+
+from microaligner_tpu._native import codec
+from microaligner_tpu.io import MemmapWriter, TiffFile, read_tiff_page
+from microaligner_tpu.io.ome import str_to_xml, extract_pixels_info, collect_info_from_ome
+
+
+def _ome(size_c=2, size_z=3, size_y=40, size_x=50, dtype="uint16", channels=("DAPI", "Cy5")):
+    chs = "".join(
+        f'<Channel ID="Channel:0:{i}" Name="{n}" SamplesPerPixel="1"/>'
+        for i, n in enumerate(channels)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0" Name="test">'
+        f'<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="{dtype}" '
+        f'SizeT="1" SizeC="{size_c}" SizeZ="{size_z}" SizeY="{size_y}" SizeX="{size_x}" '
+        'PhysicalSizeX="0.3" PhysicalSizeXUnit="um" PhysicalSizeY="0.3" PhysicalSizeYUnit="um">'
+        + chs
+        + "</Pixels></Image></OME>"
+    )
+
+
+class TestWriterReaderRoundtrip:
+    def test_roundtrip_u16(self, tmp_path, rng):
+        data = rng.integers(0, 65535, size=(1, 2, 3, 40, 50)).astype(np.uint16)
+        path = tmp_path / "out.ome.tif"
+        mm = MemmapWriter(path, data.shape, np.uint16, description=_ome())
+        for c in range(2):
+            for z in range(3):
+                mm[0, c, z] = data[0, c, z]
+        mm.flush()
+        mm.close()
+
+        with TiffFile(path) as tf:
+            assert len(tf.pages) == 6
+            assert tf.ome_metadata is not None
+            s = tf.series[0]
+            assert s.shape == (2, 3, 40, 50)
+            assert s.axes == "CZYX"
+            assert s.dtype == np.uint16
+            for p in range(6):
+                c, z = p // 3, p % 3
+                np.testing.assert_array_equal(tf.read_page(p), data[0, c, z])
+
+    def test_read_tiff_page_helper(self, tmp_path, rng):
+        data = rng.integers(0, 255, size=(1, 1, 2, 30, 30)).astype(np.uint8)
+        path = tmp_path / "x.tif"
+        mm = MemmapWriter(path, data.shape, np.uint8, description=_ome(1, 2, 30, 30, "uint8", ("DAPI",)))
+        mm[0, 0, 0] = data[0, 0, 0]
+        mm[0, 0, 1] = data[0, 0, 1]
+        mm.close()
+        np.testing.assert_array_equal(read_tiff_page(path, 1), data[0, 0, 1])
+
+    def test_float32_roundtrip(self, tmp_path, rng):
+        data = rng.random((1, 1, 1, 20, 20)).astype(np.float32)
+        path = tmp_path / "f.tif"
+        mm = MemmapWriter(path, data.shape, np.float32)
+        mm[0, 0, 0] = data[0, 0, 0]
+        mm.close()
+        np.testing.assert_array_equal(read_tiff_page(path, 0), data[0, 0, 0])
+
+
+class TestReadForeignTiffs:
+    def test_cv2_lzw_u16(self, tmp_path, rng):
+        img = rng.integers(0, 65535, size=(64, 80)).astype(np.uint16)
+        p = str(tmp_path / "cv.tif")
+        cv.imwrite(p, img)  # cv2 writes LZW + horizontal predictor
+        with TiffFile(p) as tf:
+            assert tf.pages[0].compression == 5
+            np.testing.assert_array_equal(tf.read_page(0), img)
+
+    def test_cv2_lzw_u8(self, tmp_path, rng):
+        img = rng.integers(0, 255, size=(100, 90)).astype(np.uint8)
+        p = str(tmp_path / "cv8.tif")
+        cv.imwrite(p, img)
+        with TiffFile(p) as tf:
+            np.testing.assert_array_equal(tf.read_page(0), img)
+
+    def test_native_codec_built(self):
+        assert codec.native, "C++ TIFF codec failed to build"
+
+
+class TestOmeParsing:
+    def test_pixels_info(self):
+        info = extract_pixels_info(str_to_xml(_ome()))
+        assert info["SizeC"] == 2 and info["SizeZ"] == 3
+        assert info["PhysicalSizeX"] == 0.3
+
+    def test_ref_channel_resolution(self):
+        info = collect_info_from_ome("DAPI", str_to_xml(_ome(channels=("c01 DAPI-1", "c01 Cy5-2"))))
+        assert info["ref_ch_ids"] == [0]
+
+    def test_missing_ref_channel_raises(self):
+        with pytest.raises(ValueError, match="Incorrect reference channel"):
+            collect_info_from_ome("GFP", str_to_xml(_ome()))
