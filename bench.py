@@ -1,0 +1,130 @@
+"""Benchmark: tiled Farneback registration + warp, TPU vs OpenCV CPU.
+
+BASELINE.md config #2: OptFlowRegistrator-style tiled flow + warp on a
+2-cycle 2D grayscale pair.  The TPU path runs the fused sharded register step
+(one jit: per-tile Farneback + warp + NMI histogram); the baseline is the
+reference's exact compute — ``cv2.calcOpticalFlowFarneback`` per halo tile +
+``cv2.remap`` per tile — on the host CPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where value = TPU throughput (megapixels/s of registered image) and
+vs_baseline = TPU throughput / host-CPU throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make_pair(h, w, seed=0):
+    import cv2 as cv
+
+    rng = np.random.default_rng(seed)
+    base = cv.GaussianBlur(rng.random((h, w), dtype=np.float32), (0, 0), 3.0)
+    base = cv.normalize(base, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    mov = cv.remap(base, xs + 2.0 * np.sin(ys / 50), ys + 1.5 * np.cos(xs / 45), cv.INTER_LINEAR)
+    return base, mov
+
+
+def bench_tpu(ref, mov, tile_size, overlap, win_size, num_iter, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from microaligner_tpu.parallel.mesh import get_tile_mesh
+    from microaligner_tpu.parallel.step import make_sharded_register_step
+    from microaligner_tpu.tiles import TileGrid
+
+    grid = TileGrid.for_image(ref.shape, tile_size, overlap)
+    mesh = get_tile_mesh()
+    step = make_sharded_register_step(mesh, grid, win_size=win_size, num_iter=num_iter)
+    refj = jnp.asarray(ref, jnp.float32)
+    movj = jnp.asarray(mov, jnp.float32)
+
+    def run_once():
+        out = step(refj, movj)
+        # block_until_ready does not reliably block over the axon tunnel;
+        # a scalar device->host fetch drains the execution queue for real.
+        return float(jnp.sum(out[2]))
+
+    run_once()  # compile
+    run_once()  # settle
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_cpu(ref, mov, tile_size, overlap, win_size, num_iter):
+    """The reference's per-tile compute, serially on this host's cores
+    (the reference's dask pool would spread tiles over cores; we time one
+    pass and scale by the core count to credit it with perfect scaling)."""
+    import cv2 as cv
+    import os
+
+    from microaligner_tpu.tiles import TileGrid, split_into_tiles
+
+    import jax.numpy as jnp
+
+    grid = TileGrid.for_image(ref.shape, tile_size, overlap)
+    ref_t = np.asarray(split_into_tiles(jnp.asarray(ref), grid))
+    mov_t = np.asarray(split_into_tiles(jnp.asarray(mov), grid))
+    t0 = time.perf_counter()
+    flows = []
+    for i in range(ref_t.shape[0]):
+        flows.append(
+            cv.calcOpticalFlowFarneback(
+                mov_t[i], ref_t[i], None, 0.5, 0, win_size, num_iter, 1, 1.7,
+                cv.OPTFLOW_FARNEBACK_GAUSSIAN,
+            )
+        )
+    for i in range(ref_t.shape[0]):
+        f = flows[i]
+        hh, ww = f.shape[:2]
+        nf = -f
+        nf[..., 0] += np.arange(ww)
+        nf[..., 1] += np.arange(hh).reshape(-1, 1)
+        cv.remap(mov_t[i].astype(np.float32), nf, None, cv.INTER_LINEAR)
+    serial = time.perf_counter() - t0
+    ncores = os.cpu_count() or 1
+    return serial / ncores, ncores
+
+
+def main():
+    size = 4096
+    tile_size, overlap = 1000, 100
+    win_size = overlap - (1 - overlap % 2)  # 99, as the reference derives it
+    num_iter = 3
+
+    ref, mov = _make_pair(size, size)
+    mpix = size * size / 1e6
+
+    tpu_t = bench_tpu(ref, mov, tile_size, overlap, win_size, num_iter)
+    cpu_t, ncores = bench_cpu(ref, mov, tile_size, overlap, win_size, num_iter)
+
+    tpu_mpix_s = mpix / tpu_t
+    cpu_mpix_s = mpix / cpu_t
+    result = {
+        "metric": "optflow_register_warp_throughput",
+        "value": round(tpu_mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(tpu_mpix_s / cpu_mpix_s, 2),
+        "detail": {
+            "image": f"{size}x{size}",
+            "tpu_s": round(tpu_t, 3),
+            "cpu_s_percore_scaled": round(cpu_t, 3),
+            "cpu_cores_assumed_perfect_scaling": ncores,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,6 +77,95 @@ def bilinear_remap(img: jax.Array, map_x: jax.Array, map_y: jax.Array) -> jax.Ar
     return out
 
 
+def _displacement_fields(flow: jax.Array):
+    """Integer/fractional parts of per-pixel displacement (relative)."""
+    fx = flow[..., 0]
+    fy = flow[..., 1]
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    tx = fx - x1
+    ty = fy - y1
+    return x1.astype(jnp.int32), y1.astype(jnp.int32), tx, ty
+
+
+def _sample_banded_one(img: jax.Array, flow: jax.Array, band: int) -> jax.Array:
+    """out(p) = bilinear img(p + flow(p)) with zero outside, via shifted views.
+
+    Exact for integer displacements in [-band, band-1]; out-of-band pixels
+    return 0 (callers guard with a runtime fallback).  Gather-free: TPU's
+    arbitrary gather is ~50x slower than these fused shift/select/FMA passes.
+    ``img`` is (H, W, C).
+    """
+    h, w = flow.shape[:2]
+    c = img.shape[-1]
+    dxi, dyi, tx, ty = _displacement_fields(flow)
+    p = jnp.pad(img, ((band + 1, band + 1), (band + 1, band + 1), (0, 0)))
+
+    # scan over the row offset d (keeps the compiled graph small); the column
+    # offsets e are unrolled inside so XLA fuses them into one VPU loop
+    def row_term(out, d):
+        wy = jnp.where(dyi == d, 1 - ty, jnp.where(dyi == d - 1, ty, 0.0))
+        rows = jax.lax.dynamic_slice(p, (band + 1 + d, 0, 0), (h, p.shape[1], c))
+        cd = jnp.zeros((h, w, c), img.dtype)
+        for e in range(-band, band + 1):
+            wx = jnp.where(dxi == e, 1 - tx, jnp.where(dxi == e - 1, tx, 0.0))
+            shifted = jax.lax.dynamic_slice(rows, (0, band + 1 + e, 0), (h, w, c))
+            cd = cd + wx[..., None] * shifted
+        return out + wy[..., None] * cd, None
+
+    ds = jnp.arange(-band, band + 1)
+    out, _ = jax.lax.scan(row_term, jnp.zeros((h, w, c), img.dtype), ds)
+    return out
+
+
+def _sample_take_one(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Exact gather fallback with the same zero-outside semantics."""
+    h, w = flow.shape[:2]
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    return bilinear_remap(img, gx + flow[..., 0], gy + flow[..., 1])
+
+
+def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 8) -> jax.Array:
+    """Batched ``out(p) = bilinear imgs(p + flow(p))``, zero outside.
+
+    ``imgs`` is (N, H, W, C); ``flows`` is (N, H, W, 2).  Uses the banded
+    gather-free path when every displacement that touches the image fits in
+    the static band, else falls back to the exact gather — decided by ONE
+    lax.cond outside any vmap, so results always match cv.remap semantics.
+    """
+    h, w = flows.shape[1:3]
+    dxi, dyi, _, _ = jax.vmap(_displacement_fields)(flows)
+    gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 2)
+    gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 1)
+    in_band = (
+        (dxi >= -band) & (dxi <= band - 1) & (dyi >= -band) & (dyi <= band - 1)
+    )
+    # pixels whose whole 2x2 stencil is outside the image contribute 0 in
+    # both paths, so they don't need band coverage
+    abs_x = gx + dxi
+    abs_y = gy + dyi
+    fully_outside = (abs_x < -1) | (abs_x > w - 1) | (abs_y < -1) | (abs_y > h - 1)
+    ok = jnp.all(in_band | fully_outside)
+    return jax.lax.cond(
+        ok,
+        lambda args: jax.vmap(lambda i, f: _sample_banded_one(i, f, band))(*args),
+        lambda args: jax.vmap(_sample_take_one)(*args),
+        (imgs, flows),
+    )
+
+
+def warp_with_flow_batched(imgs: jax.Array, flows: jax.Array, band: int = 8) -> jax.Array:
+    """Batched Warper kernel: out(p) = imgs(p - flow(p)) (reference
+    optflow_reg/warper.py:55-67 semantics), gather-free when in band."""
+    squeeze = imgs.ndim == 3
+    x = imgs.astype(jnp.float32)
+    if squeeze:
+        x = x[..., None]
+    out = sample_displaced_batched(x, -flows, band)
+    return out[..., 0] if squeeze else out
+
+
 @jax.jit
 def warp_with_flow(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Warp ``img`` by a flow field: out(p) = img(p - flow(p)).
@@ -112,6 +201,15 @@ def compose_flows(flow1: jax.Array, flow2: jax.Array) -> jax.Array:
     merged = flow1 + sampled
     f1_zero = jnp.max(flow1) == 0
     f2_zero = jnp.max(flow2) == 0
+    return jnp.where(f1_zero, flow2, jnp.where(f2_zero, flow1, merged))
+
+
+def compose_flows_batched(flow1: jax.Array, flow2: jax.Array, band: int = 8) -> jax.Array:
+    """Batched flow composition on the gather-free sampling path."""
+    sampled = sample_displaced_batched(flow2, -flow1, band)
+    merged = flow1 + sampled
+    f1_zero = (jnp.max(flow1, axis=(1, 2, 3)) == 0)[:, None, None, None]
+    f2_zero = (jnp.max(flow2, axis=(1, 2, 3)) == 0)[:, None, None, None]
     return jnp.where(f1_zero, flow2, jnp.where(f2_zero, flow1, merged))
 
 

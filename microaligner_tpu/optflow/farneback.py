@@ -127,15 +127,18 @@ def poly_exp(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
     )
 
 
-def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
-    """Per-pixel displacement normal equations M = [G11, G12, G22, h1, h2]."""
+# Displacement band (pixels) covered by the fast sampling path.  Per-level
+# flows after pyramid warping are typically <= 2-3 px; larger flows trigger a
+# runtime fallback to the exact gather path, so results are always exact.
+_BAND = 4
+
+
+def _sample_fields(R1: jax.Array, flow: jax.Array):
     h, w = flow.shape[:2]
     gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    dx = flow[..., 0]
-    dy = flow[..., 1]
-    fx = gx + dx
-    fy = gy + dy
+    fx = gx + flow[..., 0]
+    fy = gy + flow[..., 1]
     x1 = jnp.floor(fx)
     y1 = jnp.floor(fy)
     tx = fx - x1
@@ -144,26 +147,56 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array
     y1i = y1.astype(jnp.int32)
     # OpenCV treats a sample as valid only when the whole 2x2 stencil is inside.
     inb = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
-    x1c = jnp.clip(x1i, 0, w - 2)
-    y1c = jnp.clip(y1i, 0, h - 2)
+    return x1i, y1i, tx, ty, inb
 
-    p00 = R1[y1c, x1c]
-    p01 = R1[y1c, x1c + 1]
-    p10 = R1[y1c + 1, x1c]
-    p11 = R1[y1c + 1, x1c + 1]
-    a00 = ((1 - tx) * (1 - ty))[..., None]
-    a01 = (tx * (1 - ty))[..., None]
-    a10 = ((1 - tx) * ty)[..., None]
-    a11 = (tx * ty)[..., None]
-    samp = p00 * a00 + p01 * a01 + p10 * a10 + p11 * a11  # (H, W, 5)
 
-    inbf = inb[..., None]
+def _bilinear_sample_r_batched(R1: jax.Array, flow: jax.Array):
+    """Batched bilinear sample of the 5-channel expansion at p + flow(p).
+
+    ``R1`` is (N, H, W, 5), ``flow`` is (N, H, W, 2).  Rides the shared
+    gather-free banded sampler (ops/warp.py) with its exact runtime fallback;
+    sampled values at not-in-bounds pixels are discarded by the caller, so
+    the zero-outside semantics of that sampler are irrelevant there.
+    """
+    from microaligner_tpu.ops.warp import sample_displaced_batched
+
+    x1i, y1i, tx, ty, inb = jax.vmap(_sample_fields)(R1, flow)
+    samp = sample_displaced_batched(R1, flow, band=_BAND)
+    return samp, inb, tx, ty
+
+
+def _bilinear_sample_r(R1: jax.Array, flow: jax.Array):
+    """Single-image wrapper around the batched sampler."""
+    samp, inb, tx, ty = _bilinear_sample_r_batched(R1[None], flow[None])
+    return samp[0], inb[0], tx[0], ty[0]
+
+
+def _update_matrices_zero_flow(R0: jax.Array, R1: jax.Array) -> jax.Array:
+    """First-call fast path: flow == 0 samples R1 exactly (no gather)."""
+    h, w = R0.shape[:2]
+    zero_flow = jnp.zeros((h, w, 2), jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    inb = (ix < w - 1) & (iy < h - 1)
+    return _combine_matrices(R0, R1, zero_flow[..., 0], zero_flow[..., 1], R1, inb, h, w)
+
+
+def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
+    """Per-pixel displacement normal equations M = [G11, G12, G22, h1, h2]."""
+    h, w = flow.shape[:2]
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+    samp, inb, _, _ = _bilinear_sample_r(R1, flow)
+    return _combine_matrices(R0, R1, dx, dy, samp, inb, h, w)
+
+
+def _combine_matrices(R0, R1, dx, dy, samp, inb, h, w) -> jax.Array:
+
     r2 = jnp.where(inb, samp[..., 0], 0.0)
     r3 = jnp.where(inb, samp[..., 1], 0.0)
     r4 = jnp.where(inb, (R0[..., 2] + samp[..., 2]) * 0.5, R0[..., 2])
     r5 = jnp.where(inb, (R0[..., 3] + samp[..., 3]) * 0.5, R0[..., 3])
     r6 = jnp.where(inb, (R0[..., 4] + samp[..., 4]) * 0.25, R0[..., 4] * 0.5)
-    del inbf
 
     r2 = (R0[..., 0] - r2) * 0.5
     r3 = (R0[..., 1] - r3) * 0.5
@@ -212,12 +245,35 @@ def _agg_kernel(winsize: int) -> np.ndarray:
     return k.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _banded_smooth_matrix(length: int, winsize: int) -> np.ndarray:
+    """(L, L) matrix equivalent of the replicate-padded Gaussian correlation.
+
+    The window aggregation is the FLOP-heavy stage (winsize ~= overlap, e.g.
+    99 taps); expressing it as a banded dense matmul moves it from the VPU
+    conv path onto the MXU, which is an order of magnitude faster here.
+    """
+    k = _agg_kernel(winsize).astype(np.float64)
+    m = winsize // 2
+    B = np.zeros((length, length), np.float64)
+    for d in range(-m, m + 1):
+        src = np.clip(np.arange(length) + d, 0, length - 1)
+        np.add.at(B, (src, np.arange(length)), k[d + m])
+    return B.astype(np.float32)
+
+
+def _smooth5_mxu(s: jax.Array, winsize: int) -> jax.Array:
+    """(5, H, W) channel stack -> Gaussian-window smoothed, via two matmuls."""
+    h, w = s.shape[-2:]
+    bw = jnp.asarray(_banded_smooth_matrix(w, winsize))
+    bh = jnp.asarray(_banded_smooth_matrix(h, winsize))
+    s = jnp.einsum("chw,wk->chk", s, bw, precision=jax.lax.Precision.HIGHEST)
+    s = jnp.einsum("jh,cjw->chw", bh, s, precision=jax.lax.Precision.HIGHEST)
+    return s
+
+
 def _update_flow_gaussian(M: jax.Array, winsize: int) -> jax.Array:
-    k = jnp.asarray(_agg_kernel(winsize))
-    s = jnp.moveaxis(M, -1, 0)  # (5, H, W)
-    s = _corr1d_lastdim(s, k)  # along W
-    s = _corr1d_lastdim(jnp.swapaxes(s, -1, -2), k)  # along H
-    s = jnp.swapaxes(s, -1, -2)
+    s = _smooth5_mxu(jnp.moveaxis(M, -1, 0), winsize)
     g11, g12, g22, h1, h2 = s[0], s[1], s[2], s[3], s[4]
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     flow_x = (g11 * h2 - g12 * h1) * idet
@@ -240,6 +296,39 @@ def _pre_smooth(img: jax.Array) -> jax.Array:
     return sep_filter2d(img.astype(jnp.float32), k, k)
 
 
+def _update_matrices_batched(R0, R1, flow):
+    samp, inb, _, _ = _bilinear_sample_r_batched(R1, flow)
+    h, w = flow.shape[1:3]
+    return jax.vmap(
+        lambda r0, r1, f, s, i: _combine_matrices(r0, r1, f[..., 0], f[..., 1], s, i, h, w)
+    )(R0, R1, flow, samp, inb)
+
+
+def _farneback_core_batched(
+    movs: jax.Array,
+    refs: jax.Array,
+    win_size: int,
+    num_iter: int,
+    poly_n: int,
+    poly_sigma: float,
+) -> jax.Array:
+    """Batched (N, H, W) Farneback — the main entry for tiled flow.
+
+    Keeps the banded/gather branch decision at batch level so vmapping never
+    duplicates work.
+    """
+    pe = jax.vmap(lambda x: poly_exp(_pre_smooth(x), poly_n, poly_sigma))
+    r0 = pe(movs)
+    r1 = pe(refs)
+    m = jax.vmap(_update_matrices_zero_flow)(r0, r1)
+    flow = None
+    for i in range(num_iter):
+        flow = jax.vmap(lambda mm: _update_flow_gaussian(mm, win_size))(m)
+        if i < num_iter - 1:
+            m = _update_matrices_batched(r0, r1, flow)
+    return flow
+
+
 def _farneback_core(
     mov: jax.Array,
     ref: jax.Array,
@@ -248,17 +337,9 @@ def _farneback_core(
     poly_n: int,
     poly_sigma: float,
 ) -> jax.Array:
-    i0 = _pre_smooth(mov)
-    i1 = _pre_smooth(ref)
-    r0 = poly_exp(i0, poly_n, poly_sigma)
-    r1 = poly_exp(i1, poly_n, poly_sigma)
-    flow = jnp.zeros(mov.shape[:2] + (2,), jnp.float32)
-    m = _update_matrices(r0, r1, flow)
-    for i in range(num_iter):
-        flow = _update_flow_gaussian(m, win_size)
-        if i < num_iter - 1:
-            m = _update_matrices(r0, r1, flow)
-    return flow
+    return _farneback_core_batched(
+        mov[None], ref[None], win_size, num_iter, poly_n, poly_sigma
+    )[0]
 
 
 @functools.partial(

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from microaligner_tpu.optflow.farneback import farneback, _farneback_core
+from microaligner_tpu.optflow.farneback import farneback, _farneback_core_batched
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 
 __all__ = ["TileFlowCalc", "calc_flow_tiled"]
@@ -31,9 +31,7 @@ def calc_flow_tiled(
     """(H, W) pair -> (H, W, 2) flow, computed per halo tile and stitched."""
     ref_tiles = split_into_tiles(ref_img.astype(jnp.float32), grid)
     mov_tiles = split_into_tiles(mov_img.astype(jnp.float32), grid)
-    flow_tiles = jax.vmap(
-        lambda m, r: _farneback_core(m, r, win_size, num_iter, 1, 1.7)
-    )(mov_tiles, ref_tiles)
+    flow_tiles = _farneback_core_batched(mov_tiles, ref_tiles, win_size, num_iter, 1, 1.7)
     return stitch_tiles(flow_tiles, grid)
 
 

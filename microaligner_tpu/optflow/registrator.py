@@ -30,7 +30,7 @@ import numpy as np
 from microaligner_tpu.ops.filters import dog as _dog
 from microaligner_tpu.ops.filters import pyr_down, pyr_up
 from microaligner_tpu.ops.mutual_info import check_if_higher_similarity
-from microaligner_tpu.ops.warp import compose_flows
+from microaligner_tpu.ops.warp import compose_flows, compose_flows_batched
 from microaligner_tpu.optflow.flow_calc import TileFlowCalc
 from microaligner_tpu.optflow.warper import Warper
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
@@ -224,7 +224,7 @@ class OptFlowRegistrator:
         grid = TileGrid.for_image(flow1.shape, self.tile_size, self.overlap)
         f1 = split_into_tiles(jnp.asarray(flow1), grid)
         f2 = split_into_tiles(jnp.asarray(flow2), grid)
-        merged = jax.vmap(compose_flows)(f1, f2)
+        merged = compose_flows_batched(f1, f2)
         return np.asarray(jax.device_get(stitch_tiles(merged, grid)))
 
     def _merge_list_of_flows(self, flow_list: List[np.ndarray]) -> np.ndarray:

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from microaligner_tpu.ops.warp import warp_with_flow
+from microaligner_tpu.ops.warp import warp_with_flow_batched
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 
 __all__ = ["Warper", "warp_tiled"]
@@ -30,7 +30,7 @@ def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
     """Warp ``image`` (H, W) by ``flow`` (H, W, 2) tile-by-tile."""
     img_tiles = split_into_tiles(image.astype(jnp.float32), grid)
     flow_tiles = split_into_tiles(flow, grid)
-    warped = jax.vmap(warp_with_flow)(img_tiles, flow_tiles)
+    warped = warp_with_flow_batched(img_tiles, flow_tiles)
     return stitch_tiles(warped, grid)
 
 
