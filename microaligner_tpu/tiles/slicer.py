@@ -83,11 +83,19 @@ def split_into_tiles(img: jax.Array, grid: TileGrid) -> jax.Array:
         mode="constant",
     )
     th, tw = grid.tile_shape
-    rows = (jnp.arange(grid.ny) * grid.tile_h)[:, None] + jnp.arange(th)[None, :]
-    cols = (jnp.arange(grid.nx) * grid.tile_w)[:, None] + jnp.arange(tw)[None, :]
-    # gather overlapping windows: (ny, nx, T, T, C)
-    tiles = canvas[rows[:, None, :, None], cols[None, :, None, :]]
-    tiles = tiles.reshape(grid.num_tiles, th, tw, c)
+    # static slices (XLA copies, not gathers — TPU gathers are slow); the
+    # slice count equals the tile count, which is bounded by design
+    tiles = jnp.stack(
+        [
+            jax.lax.slice(
+                canvas,
+                (i * grid.tile_h, j * grid.tile_w, 0),
+                (i * grid.tile_h + th, j * grid.tile_w + tw, c),
+            )
+            for i in range(grid.ny)
+            for j in range(grid.nx)
+        ]
+    )
     if squeeze:
         tiles = tiles[..., 0]
     return tiles

@@ -8,6 +8,8 @@ __all__ = [
     "check_img_is_2d_grey",
     "check_img_is_provided",
     "check_img_dims_match",
+    "check_input_has_proper_dimensions",
+    "check_number_of_input_img_paths",
 ]
 
 
@@ -30,3 +32,33 @@ def check_img_dims_match(ref, mov):
             "Input images have different dimensions "
             f"reference image shape: {ref.shape}, moving image shape: {mov.shape}"
         )
+
+
+def check_input_has_proper_dimensions(img_path):
+    """Image must have exactly 4 dimensions, order CZYX
+    (reference img_checks.py:50-67)."""
+    from microaligner_tpu.io.tiff import TiffFile
+
+    with TiffFile(img_path) as tf:
+        shape = tf.series[0].shape
+    if len(shape) != 4:
+        raise ValueError(
+            "Expected image that has precisely 4 dimensions "
+            f"but image {str(img_path)} has {len(shape)}, and shape {shape}"
+        )
+
+
+def check_number_of_input_img_paths(img_paths, is_stack: bool):
+    """Stacks take exactly one path; otherwise at least two cycles
+    (reference img_checks.py:70-86)."""
+    if len(img_paths) == 1:
+        if not is_stack:
+            raise ValueError("You need to provide at least two images to do a registration.")
+    elif len(img_paths) > 1:
+        if is_stack:
+            raise ValueError(
+                "Too many input images. "
+                "When flag InputIsCycleStack is true only one image can be used"
+            )
+    else:
+        raise ValueError("You need to provide at least two images to do a registration.")

@@ -98,7 +98,7 @@ class TestConfigReader:
     def test_reads_and_validates(self, synthetic_dataset, tmp_path):
         ds_dir, *_ = synthetic_dataset
         cfg_path = tmp_path / "c.yaml"
-        cfg_path.write_text(yaml.dump(_config(ds_dir, tmp_path / "out")))
+        cfg_path.write_text(yaml.dump(_config(ds_dir, tmp_path / "out"), sort_keys=False))
         cfg = PipelineConfigReader().read_config(cfg_path)
         assert cfg.Input.PipelineInputType == "CyclePerImage"
         assert cfg.Input.InputImagePaths[1].name == "cyc1.ome.tif"
@@ -109,7 +109,7 @@ class TestConfigReader:
         bad = _config(ds_dir, tmp_path / "o")
         bad["RegistrationParameters"]["FeatureReg"]["TileSize"] = 5
         p = tmp_path / "bad.yaml"
-        p.write_text(yaml.dump(bad))
+        p.write_text(yaml.dump(bad, sort_keys=False))
         with pytest.raises(ValueError, match="TileSize"):
             PipelineConfigReader().read_config(p)
 
@@ -123,7 +123,7 @@ class TestFeatureRegPipeline:
         ds_dir, cyc1, cyc2, fwd = synthetic_dataset
         out_dir = tmp_path / "out"
         cfg_path = tmp_path / "c.yaml"
-        cfg_path.write_text(yaml.dump(_config(ds_dir, out_dir)))
+        cfg_path.write_text(yaml.dump(_config(ds_dir, out_dir), sort_keys=False))
         cfg = PipelineConfigReader().read_config(cfg_path)
         run_pipeline(cfg)
 
@@ -154,7 +154,7 @@ class TestOptFlowPipeline:
         ds_dir, cyc1, cyc2, fwd = synthetic_dataset
         out_dir = tmp_path / "out_of"
         cfg_path = tmp_path / "c2.yaml"
-        cfg_path.write_text(yaml.dump(_config(ds_dir, out_dir, feature=True, optflow=True)))
+        cfg_path.write_text(yaml.dump(_config(ds_dir, out_dir, feature=True, optflow=True), sort_keys=False))
         cfg = PipelineConfigReader().read_config(cfg_path)
         run_pipeline(cfg)
         out = out_dir / "test_optflow_reg_result_stack.tif"
