@@ -113,6 +113,11 @@ class FeatureRegistrator:
             out = np.clip(np.round(out), info.min, info.max)
         return out.astype(img.dtype)
 
+    def transform_big_img(self, img: np.ndarray, t_mat: np.ndarray) -> np.ndarray:
+        """Reference API compat (feature_registrator.py:118-126); same path as
+        ``transform_img`` here — no size split needed."""
+        return self.transform_img(img, t_mat)
+
     # -- internals ----------------------------------------------------------
 
     @staticmethod

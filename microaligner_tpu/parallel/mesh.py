@@ -22,7 +22,10 @@ _TILE_AXIS = "tiles"
 
 
 def get_tile_mesh(devices=None) -> Mesh:
-    devices = jax.devices() if devices is None else devices
+    if devices is None:
+        from microaligner_tpu.utils.workers import get_worker_devices
+
+        devices = get_worker_devices()
     return Mesh(np.asarray(devices), (_TILE_AXIS,))
 
 

@@ -16,9 +16,12 @@ Behavioral re-implementation of the reference CLI driver (__main__.py):
 from __future__ import annotations
 
 import csv
+import functools
 from pathlib import Path
 from typing import Dict, List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from microaligner_tpu.features import FeatureRegistrator
@@ -27,9 +30,11 @@ from microaligner_tpu.io.tiff import MemmapWriter, TiffFile, read_tiff_page
 from microaligner_tpu.ops.pad import pad_to_shape
 from microaligner_tpu.ops.warp import transform_img_with_tmat
 from microaligner_tpu.optflow import OptFlowRegistrator, Warper
+from microaligner_tpu.pipeline.apply import stream_apply
 from microaligner_tpu.pipeline.config import PipelineConfig
 from microaligner_tpu.pipeline.dataset import DatasetStruct, DatasetStructCreator
 from microaligner_tpu.utils.pages import read_and_max_project_pages
+from microaligner_tpu.utils.workers import set_number_of_workers
 
 __all__ = ["run_pipeline", "run_feature_reg", "run_opt_flow_reg", "get_target_shape"]
 
@@ -72,6 +77,40 @@ def save_param(out_dir: Path, tmat_per_cycle, padding_per_cycle, image_shape):
             w.writerow(
                 [f"Cycle {cyc}"] + flat + list(pad) + [image_shape[1], image_shape[0]]
             )
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "dtype_name", "warp"))
+def _apply_affine_plane(img, inv_mat, out_h, out_w, dtype_name, warp):
+    """Device-side pad(+affine) of one plane, preserving dtype.
+
+    Matches transform_img_with_tmat semantics (pad -> pinv warp -> truncate
+    astype, shared_modules/utils.py:98-114) but stays on device so the apply
+    phase can stream (one async dispatch per plane).
+    """
+    from microaligner_tpu.ops.pad import calculate_padding_size
+    from microaligner_tpu.ops.warp import _affine_warp_core
+
+    left, right = calculate_padding_size(out_w, img.shape[1])
+    top, bottom = calculate_padding_size(out_h, img.shape[0])
+    padded = jnp.pad(img, ((top, bottom), (left, right)))
+    if not warp:
+        return padded
+    out = _affine_warp_core(padded.astype(jnp.float32), inv_mat, out_h, out_w)
+    return out.astype(jnp.dtype(dtype_name))  # truncating cast, like astype
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "dtype_name"))
+def _apply_flow_plane(img, flow, grid, dtype_name):
+    """Device-side tiled warp of one plane, rounded back to its dtype
+    (cv.remap on integer images rounds)."""
+    from microaligner_tpu.optflow.warper import warp_tiled
+
+    out = warp_tiled(img, flow, grid)
+    dt = jnp.dtype(dtype_name)
+    if jnp.issubdtype(dt, jnp.integer):
+        info = jnp.iinfo(dt)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dt)
 
 
 def _dims_of_struct(struct: DatasetStruct):
@@ -162,17 +201,35 @@ def transform_and_save_freg_imgs(
                 img_dtype,
                 description=ome_meta_per_cyc[cyc],
             )
-        tmat = tmat_per_cycle[cyc]
-        for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
-            out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
-            pages = struct.tiff_pages[cyc][ch]
-            paths = struct.img_paths[cyc][ch]
-            for z_id, z in enumerate(paths):
-                img = read_tiff_page(paths[z], pages[z])
-                mm[0, out_ch, z_id] = transform_img_with_tmat(img, target_shape, tmat)
-                mm.flush()
-            for extra_z in range(len(pages), max_z):
-                mm[0, out_ch, extra_z] = 0
+        tmat = np.asarray(tmat_per_cycle[cyc], dtype=np.float64)
+        is_identity = np.array_equal(tmat, np.eye(2, 3))
+        inv = jnp.asarray(
+            np.linalg.pinv(np.vstack([tmat, [0.0, 0.0, 1.0]]))[:2], jnp.float32
+        )
+        out_h, out_w = int(target_shape[0]), int(target_shape[1])
+
+        def planes():
+            for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
+                out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
+                pages = struct.tiff_pages[cyc][ch]
+                paths = struct.img_paths[cyc][ch]
+                for z_id, z in enumerate(paths):
+                    yield (out_ch, z_id), read_tiff_page(paths[z], pages[z])
+                for extra_z in range(len(pages), max_z):
+                    mm[0, out_ch, extra_z] = 0
+
+        def device_fn(img):
+            return _apply_affine_plane(
+                jnp.asarray(img), inv, out_h, out_w,
+                np.dtype(img_dtype).name, not is_identity,
+            )
+
+        def write_fn(key, plane):
+            out_ch, z_id = key
+            mm[0, out_ch, z_id] = plane
+            mm.flush()
+
+        stream_apply(planes(), device_fn, write_fn)
         if not save_to_stack:
             mm.close()
     if save_to_stack:
@@ -188,6 +245,7 @@ def run_feature_reg(config: PipelineConfig, target_shape) -> Dict:
     input_is_stack = inp.PipelineInputType == "CycleStack"
     p = config.RegistrationParameters.FeatureReg
 
+    set_number_of_workers(p.NumberOfWorkers)
     struct_creator = DatasetStructCreator()
     struct_creator.img_paths = inp.InputImagePaths
     struct_creator.input_is_stack = input_is_stack
@@ -291,15 +349,31 @@ def register_and_save_ofreg_imgs(
             warper.flow = flow
             ref_img = warper.warp()  # next cycle registers against this
             print(f"Saving Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
-            for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
-                out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
-                for z_id, z in enumerate(struct.img_paths[cyc][ch]):
-                    warper.image = read_tiff_page(
-                        struct.img_paths[cyc][ch][z], struct.tiff_pages[cyc][ch][z]
-                    )
-                    warper.flow = flow
-                    mm[0, out_ch, z_id] = warper.warp()
-                    mm.flush()
+            from microaligner_tpu.pipeline.apply import stream_apply
+            from microaligner_tpu.tiles import TileGrid
+
+            grid = TileGrid.for_image(flow.shape[:2], tile_size, overlap)
+            flow_dev = jnp.asarray(flow)
+
+            def planes():
+                for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
+                    out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
+                    for z_id, z in enumerate(struct.img_paths[cyc][ch]):
+                        yield (out_ch, z_id), read_tiff_page(
+                            struct.img_paths[cyc][ch][z], struct.tiff_pages[cyc][ch][z]
+                        )
+
+            def device_fn(img):
+                return _apply_flow_plane(
+                    jnp.asarray(img), flow_dev, grid, np.dtype(img_dtype).name
+                )
+
+            def write_fn(key, plane):
+                out_ch, z_id = key
+                mm[0, out_ch, z_id] = plane
+                mm.flush()
+
+            stream_apply(planes(), device_fn, write_fn)
         if not save_to_stack:
             mm.close()
     if save_to_stack:
@@ -335,6 +409,7 @@ def run_opt_flow_reg(config: PipelineConfig, img_paths, target_shape):
         img_paths = run_feature_reg(config, target_shape)
         input_is_stack_of = output_is_stack
 
+    set_number_of_workers(p.NumberOfWorkers)
     struct_creator = DatasetStructCreator()
     struct_creator.img_paths = img_paths
     struct_creator.input_is_stack = input_is_stack_of

@@ -7,5 +7,17 @@ process pool (SURVEY §2.9, §5.8).
 """
 
 from microaligner_tpu.tiles.slicer import TileGrid, split_into_tiles, stitch_tiles
+from microaligner_tpu.tiles.compat import (
+    get_tile,
+    split_image_into_tiles_of_size,
+    stitch_image,
+)
 
-__all__ = ["TileGrid", "split_into_tiles", "stitch_tiles"]
+__all__ = [
+    "TileGrid",
+    "split_into_tiles",
+    "stitch_tiles",
+    "get_tile",
+    "split_image_into_tiles_of_size",
+    "stitch_image",
+]
