@@ -95,23 +95,23 @@ def _chunked_mean_nmi(a: jax.Array, b: jax.Array, nchunks: int, chunk: int) -> j
 def mi_tiled(arr1, arr2, tile_size: int) -> float:
     """Chunked-mean NMI exactly mirroring ``mi_tiled``
     (shared_modules/similarity_scoring.py:27-50): flatten row-major, split at
-    multiples of ``tile_size**2``, score each non-empty chunk, average."""
-    a = np.asarray(jax.device_get(arr1)).reshape(-1)
-    b = np.asarray(jax.device_get(arr2)).reshape(-1)
+    multiples of ``tile_size**2``, score each non-empty chunk, average.
+
+    Accepts numpy or device arrays; all heavy work stays on device — only the
+    per-chunk scores come back to the host.
+    """
+    a = jnp.asarray(arr1).reshape(-1)
+    b = jnp.asarray(arr2).reshape(-1)
     if max(arr1.shape) / tile_size < 2:
         return nmi_u8(a, b)
     chunk = tile_size * tile_size
-    nfull = a.size // chunk
+    nfull = int(a.size) // chunk
     scores: List[float] = []
     if nfull > 0:
         scores.extend(
-            np.asarray(
-                jax.device_get(
-                    _chunked_mean_nmi(jnp.asarray(a), jnp.asarray(b), nfull, chunk)
-                )
-            ).tolist()
+            np.asarray(jax.device_get(_chunked_mean_nmi(a, b, nfull, chunk))).tolist()
         )
-    rem = a.size - nfull * chunk
+    rem = int(a.size) - nfull * chunk
     if rem > 0:
         scores.append(nmi_u8(a[nfull * chunk :], b[nfull * chunk :]))
     return float(np.mean(scores))

@@ -32,7 +32,7 @@ from microaligner_tpu.ops.filters import pyr_down, pyr_up
 from microaligner_tpu.ops.mutual_info import check_if_higher_similarity
 from microaligner_tpu.ops.warp import compose_flows, compose_flows_batched
 from microaligner_tpu.optflow.flow_calc import TileFlowCalc
-from microaligner_tpu.optflow.warper import Warper
+from microaligner_tpu.optflow.warper import Warper, warp_tiled_dtype
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 from microaligner_tpu.utils.img_checks import (
     check_img_dims_match,
@@ -92,38 +92,44 @@ class OptFlowRegistrator:
         self._tile_flow_calc.win_size = self.overlap - (1 - self.overlap % 2)
 
     def register(self) -> np.ndarray:
-        """Returns the full-resolution (H, W, 2) flow aligning mov to ref."""
+        """Returns the full-resolution (H, W, 2) flow aligning mov to ref.
+
+        All dense state (pyramids, flows, warped levels) stays device-resident
+        across the level loop; only the MI gate scalars come to the host —
+        essential at 20k x 20k where a single full-res f32 flow is 3.2 GB.
+        """
         check_img_is_provided(self._ref_img, "ref")
         check_img_is_provided(self._mov_img, "mov")
         check_img_dims_match(self._ref_img, self._mov_img)
 
         self._init_components()
-        ref_pyr, factors = self._generate_img_pyr(self._ref_img)
-        mov_pyr, _ = self._generate_img_pyr(self._mov_img)
+        win_size = self.overlap - (1 - self.overlap % 2)
+        ref_pyr, factors = self._generate_img_pyr(jnp.asarray(self._ref_img))
+        mov_pyr, _ = self._generate_img_pyr(jnp.asarray(self._mov_img))
+        dtype_name = np.dtype(self._mov_img.dtype).name
 
         num_lvl = len(factors)
         m_flow = None
         for lvl, factor in enumerate(factors):
             print("Pyramid factor", factor)
-            mov_this_lvl = mov_pyr[lvl].copy()
+            mov_this_lvl = mov_pyr[lvl]
+            grid = TileGrid.for_image(mov_this_lvl.shape, self.tile_size, self.overlap)
 
             if lvl != 0:
-                self._warper.image = mov_this_lvl
-                self._warper.flow = m_flow
-                mov_this_lvl = self._warper.warp()
+                mov_this_lvl = warp_tiled_dtype(mov_this_lvl, m_flow, grid, dtype_name)
 
-            self._tile_flow_calc.ref_img = self._dog_np(ref_pyr[lvl], self.use_dog)
-            self._tile_flow_calc.mov_img = self._dog_np(mov_this_lvl, self.use_dog)
-            this_flow = self._tile_flow_calc.calc_flow()
+            this_flow = self._calc_flow_dev(
+                _dog(ref_pyr[lvl], self.use_dog),
+                _dog(mov_this_lvl, self.use_dog),
+                win_size,
+            )
 
-            self._warper.image = mov_this_lvl
-            self._warper.flow = this_flow
-            mov_warped = self._warper.warp()
+            mov_warped = warp_tiled_dtype(mov_this_lvl, this_flow, grid, dtype_name)
 
             is_higher_similarity = check_if_higher_similarity(
-                self._dog_np(ref_pyr[lvl], True),
-                self._dog_np(mov_warped, True),
-                self._dog_np(mov_pyr[lvl], True),
+                _dog(ref_pyr[lvl], True),
+                _dog(mov_warped, True),
+                _dog(mov_pyr[lvl], True),
                 self.tile_size,
             )
 
@@ -131,7 +137,7 @@ class OptFlowRegistrator:
                 print("    Better alignment than before")
                 if lvl == 0:
                     if num_lvl > 1:
-                        m_flow = self._pyr_up_np(this_flow * 2, mov_pyr[lvl + 1].shape)
+                        m_flow = self._pyr_up_dev(this_flow * 2, mov_pyr[lvl + 1].shape)
                     else:
                         m_flow = self._upscale_flow_to_full_res(this_flow, factor)
                 elif lvl == num_lvl - 1:
@@ -140,7 +146,7 @@ class OptFlowRegistrator:
                         m_flow = self._upscale_flow_to_full_res(m_flow, factor)
                 else:
                     m_flow = self._merge_list_of_flows([m_flow, this_flow])
-                    m_flow = self._pyr_up_np(m_flow * 2, mov_pyr[lvl + 1].shape)
+                    m_flow = self._pyr_up_dev(m_flow * 2, mov_pyr[lvl + 1].shape)
             else:
                 print("    Worse alignment than before")
                 if lvl == 0:
@@ -148,31 +154,37 @@ class OptFlowRegistrator:
                         shape = list(mov_pyr[lvl + 1].shape)
                     else:
                         shape = list(self._mov_img.shape)
-                    m_flow = np.zeros(shape + [2], dtype=np.float32)
+                    m_flow = jnp.zeros(shape + [2], dtype=jnp.float32)
                 elif lvl == num_lvl - 1:
                     if not self.use_full_res_img:
-                        m_flow = self._pyr_up_np(m_flow * 2, self._mov_img.shape)
+                        m_flow = self._pyr_up_dev(m_flow * 2, self._mov_img.shape)
                 else:
                     mult = 4 if self.replicate_reject_upscale_bug else 2
-                    m_flow = self._pyr_up_np(m_flow * mult, mov_pyr[lvl + 1].shape)
+                    m_flow = self._pyr_up_dev(m_flow * mult, mov_pyr[lvl + 1].shape)
 
-        return m_flow
+        return np.asarray(jax.device_get(m_flow))
 
     # -- helpers -----------------------------------------------------------
 
-    @staticmethod
-    def _dog_np(img: np.ndarray, use_it: bool) -> np.ndarray:
-        return np.asarray(jax.device_get(_dog(img, use_it)))
+    def _calc_flow_dev(self, ref_img, mov_img, win_size: int):
+        """Device-resident TileFlowCalc (flow_calc.py:59-84 semantics)."""
+        from microaligner_tpu.optflow.farneback import farneback
+        from microaligner_tpu.optflow.flow_calc import calc_flow_tiled
+
+        if max(ref_img.shape) / self.tile_size < 2:
+            return farneback(
+                mov_img, ref_img, win_size=win_size, num_iter=self.num_iterations
+            )
+        grid = TileGrid.for_image(ref_img.shape, self.tile_size, self.overlap)
+        return calc_flow_tiled(ref_img, mov_img, grid, win_size, self.num_iterations)
 
     @staticmethod
-    def _pyr_up_np(flow: np.ndarray, dst_shape) -> np.ndarray:
-        return np.asarray(
-            jax.device_get(pyr_up(jnp.asarray(flow), (int(dst_shape[0]), int(dst_shape[1]))))
-        )
+    def _pyr_up_dev(flow, dst_shape):
+        return pyr_up(flow, (int(dst_shape[0]), int(dst_shape[1])))
 
-    def _generate_img_pyr(self, arr: np.ndarray) -> Tuple[List[np.ndarray], List[int]]:
+    def _generate_img_pyr(self, arr) -> Tuple[List, List[int]]:
         """Smallest-first pyramid; stop when a dim would drop below 100 px
-        (optflow_registrator.py:175-202)."""
+        (optflow_registrator.py:175-202).  Levels are device arrays."""
         if self.num_pyr_lvl < 0:
             raise ValueError("Number of pyramid levels cannot be less than 0")
         if self.num_pyr_lvl == 0 and not self.use_full_res_img:
@@ -180,20 +192,20 @@ class OptFlowRegistrator:
                 "Number of pyramid levels is 0 and use_full_res_img is False. "
                 "Please change one of the parameters"
             )
-        pyramid: List[np.ndarray] = []
+        pyramid: List = []
         factors: List[int] = []
-        pyr_lvl = arr
+        pyr_lvl = jnp.asarray(arr)
         for lvl in range(self.num_pyr_lvl):
             factor = 2 ** (lvl + 1)
             if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
                 break
-            pyr_lvl = np.asarray(jax.device_get(pyr_down(jnp.asarray(pyr_lvl))))
+            pyr_lvl = pyr_down(pyr_lvl)
             pyramid.append(pyr_lvl)
             factors.append(factor)
         factors = list(reversed(factors))
         pyramid = list(reversed(pyramid))
         if self.use_full_res_img:
-            pyramid.append(arr)
+            pyramid.append(jnp.asarray(arr))
             factors.append(1)
         return pyramid, factors
 
@@ -213,19 +225,20 @@ class OptFlowRegistrator:
         upscaled = flow
         for i in range(num_lvls):
             if i == num_lvls - 1:
-                upscaled = self._pyr_up_np(flow, self._ref_img.shape)
+                upscaled = self._pyr_up_dev(flow, self._ref_img.shape)
             else:
                 h, w = upscaled.shape[:2]
-                upscaled = self._pyr_up_np(upscaled, (h * 2, w * 2))
+                upscaled = self._pyr_up_dev(upscaled, (h * 2, w * 2))
         return upscaled
 
-    def _merge_flow_in_tiles(self, flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
-        """Tile-wise flow composition (optflow_registrator.py:217-233)."""
+    def _merge_flow_in_tiles(self, flow1, flow2):
+        """Tile-wise flow composition (optflow_registrator.py:217-233),
+        device-resident."""
         grid = TileGrid.for_image(flow1.shape, self.tile_size, self.overlap)
         f1 = split_into_tiles(jnp.asarray(flow1), grid)
         f2 = split_into_tiles(jnp.asarray(flow2), grid)
         merged = compose_flows_batched(f1, f2)
-        return np.asarray(jax.device_get(stitch_tiles(merged, grid)))
+        return stitch_tiles(merged, grid)
 
     def _merge_list_of_flows(self, flow_list: List[np.ndarray]) -> np.ndarray:
         m_flow = flow_list[0]

@@ -34,6 +34,17 @@ def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
     return stitch_tiles(warped, grid)
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "dtype_name"))
+def warp_tiled_dtype(image: jax.Array, flow: jax.Array, grid: TileGrid, dtype_name: str) -> jax.Array:
+    """Tiled warp rounded back to an integer dtype (cv.remap rounds)."""
+    out = warp_tiled(image, flow, grid)
+    dt = jnp.dtype(dtype_name)
+    if jnp.issubdtype(dt, jnp.integer):
+        info = jnp.iinfo(dt)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dt)
+
+
 class Warper:
     """Property-style API matching the reference (optflow_reg/warper.py:30-53).
 
