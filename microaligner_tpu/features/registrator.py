@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from microaligner_tpu.utils.logging import log, stage_timer
+
 from microaligner_tpu.features.tile_features import Features, find_features, register_img_pair
 from microaligner_tpu.ops.filters import dog as _dog
 from microaligner_tpu.ops.filters import pyr_down
@@ -88,7 +90,7 @@ class FeatureRegistrator:
 
         fullscale_t_mat_list: List[np.ndarray] = []
         for i, factor in enumerate(self._factors):
-            print("Pyramid factor", factor)
+            log("Pyramid factor", factor)
             self._this_pyr_factor = factor
             if i == 0:
                 mov_lvl = mov_img_pyrs[i]
@@ -157,7 +159,7 @@ class FeatureRegistrator:
         t_matrices: List[np.ndarray] = []
         aligned_img = mov_img.copy()
         for i in range(self.num_iterations):
-            print("    Iteration", i + 1, "/", self.num_iterations)
+            log("    Iteration", i + 1, "/", self.num_iterations)
             mov_img_aligned, est_t_mat = self._align_imgs(ref_features, aligned_img)
 
             is_more_similar = check_if_higher_similarity(
@@ -169,7 +171,7 @@ class FeatureRegistrator:
             is_valid = self._check_if_valid_transform(est_t_mat, mov_img.shape)
 
             if any(is_more_similar) and is_valid:
-                print("    Better alignment than before")
+                log("    Better alignment than before")
                 t_matrices.append(est_t_mat)
                 # realign from the ORIGINAL mov with the composed matrix
                 # (feature_registrator.py:186) to avoid resampling build-up
@@ -177,7 +179,7 @@ class FeatureRegistrator:
                     mov_img, self._multiply_transform_matrices(t_matrices)
                 )
             else:
-                print("    Worse alignment than before")
+                log("    Worse alignment than before")
                 t_matrices.append(np.eye(2, 3))
         return aligned_img, self._multiply_transform_matrices(t_matrices)
 

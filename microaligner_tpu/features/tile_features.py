@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from microaligner_tpu.utils.logging import log, stage_timer
+
 from microaligner_tpu.features.daisy import daisy_at_points
 from microaligner_tpu.features.fast import fast_detect_topk
 from microaligner_tpu.features.match import match_descriptors
@@ -107,7 +109,7 @@ def match_features(ref_features: Features, mov_features: Features, seed: int = 0
     good_np = np.asarray(jax.device_get(good))
     n_good = int(good_np.sum())
     n_total = int(np.sum(np.asarray(jax.device_get(mov_features.valid))))
-    print("    Good matches", n_good, "/", n_total)
+    log("    Good matches", n_good, "/", n_total)
     if n_good < 3:
         return np.eye(2, 3)
     src = np.asarray(jax.device_get(mov_features.coords))  # from: mov

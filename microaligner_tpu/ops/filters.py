@@ -107,6 +107,7 @@ def gaussian_blur(img: jax.Array, ksize: int, sigma: float) -> jax.Array:
     return sep_filter2d(img, k, k)
 
 
+@jax.jit
 def minmax_normalize_f32(img: jax.Array) -> jax.Array:
     """``cv.normalize(img, None, 0, 1, NORM_MINMAX, CV_32F)``."""
     img = img.astype(jnp.float32)
@@ -116,6 +117,7 @@ def minmax_normalize_f32(img: jax.Array) -> jax.Array:
     return (img - lo) * scale
 
 
+@jax.jit
 def minmax_normalize_u8(img: jax.Array) -> jax.Array:
     """``cv.normalize(img, None, 0, 255, NORM_MINMAX, CV_8U)``.
 
@@ -157,6 +159,7 @@ def dog(img, use_it: bool = True, low_sigma: int = 5, high_sigma: int = 9):
 _PYR_KERNEL = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 
 
+@jax.jit
 def pyr_down(img: jax.Array) -> jax.Array:
     """``cv.pyrDown``: 5-tap [1,4,6,4,1]/16 Gaussian + 2x decimation.
 
@@ -175,6 +178,7 @@ def pyr_down(img: jax.Array) -> jax.Array:
     return y.astype(orig_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("dstsize",))
 def pyr_up(img: jax.Array, dstsize: tuple[int, int]) -> jax.Array:
     """``cv.pyrUp(img, dstsize=(W, H))`` — zero-stuff 2x then blur with 4*kernel.
 

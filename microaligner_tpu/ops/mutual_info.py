@@ -21,31 +21,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from microaligner_tpu.utils.logging import log, stage_timer
+
 __all__ = ["nmi_u8", "mi_tiled", "mutual_information_test", "check_if_higher_similarity"]
 
 _BINS = 256
 
 
-def _joint_hist_256(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Exact 256x256 joint histogram of two flat u8 arrays via MXU matmuls."""
-    n = a.shape[0]
-    chunk = 1 << 13  # 8192-row one-hots keep the intermediates in VMEM range
-    pad = (-n) % chunk
-    av = jnp.pad(a.astype(jnp.int32), (0, pad), constant_values=0)
-    bv = jnp.pad(b.astype(jnp.int32), (0, pad), constant_values=0)
-    valid = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad), constant_values=0.0)
-    av = av.reshape(-1, chunk)
-    bv = bv.reshape(-1, chunk)
-    valid = valid.reshape(-1, chunk)
+def _hist_batched(a2: jax.Array, b2: jax.Array, valid2: jax.Array) -> jax.Array:
+    """(N, M) int32 chunk pairs -> (N, 256, 256) joint histograms.
+
+    One-hot rows are bf16 (0/1 exact) and accumulate in f32 on the MXU, so
+    counts are exact below 2**24 per cell.  The inner subchunk loop is a scan
+    of BATCHED matmuls — one big MXU launch per step instead of one tiny
+    matmul per chunk.
+    """
+    n, m = a2.shape
+    sub = 1 << 13
+    pad = (-m) % sub
+    if pad:
+        a2 = jnp.pad(a2, ((0, 0), (0, pad)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
+        valid2 = jnp.pad(valid2, ((0, 0), (0, pad)))
+    nsub = a2.shape[1] // sub
+    a3 = a2.reshape(n, nsub, sub).transpose(1, 0, 2)  # (S, N, sub)
+    b3 = b2.reshape(n, nsub, sub).transpose(1, 0, 2)
+    v3 = valid2.reshape(n, nsub, sub).transpose(1, 0, 2)
 
     def body(carry, xs):
         ai, bi, vi = xs
-        onea = (jax.nn.one_hot(ai, _BINS, dtype=jnp.float32) * vi[:, None])
-        oneb = jax.nn.one_hot(bi, _BINS, dtype=jnp.float32)
-        return carry + jnp.dot(onea.T, oneb, preferred_element_type=jnp.float32), None
+        onea = jax.nn.one_hot(ai, _BINS, dtype=jnp.bfloat16) * vi[..., None].astype(jnp.bfloat16)
+        oneb = jax.nn.one_hot(bi, _BINS, dtype=jnp.bfloat16)
+        h = jax.lax.dot_general(
+            onea, oneb,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),  # (N, 256, 256)
+            preferred_element_type=jnp.float32,
+        )
+        return carry + h, None
 
-    hist, _ = jax.lax.scan(body, jnp.zeros((_BINS, _BINS), jnp.float32), (av, bv, valid))
+    init = jnp.zeros((n, _BINS, _BINS), jnp.float32)
+    hist, _ = jax.lax.scan(body, init, (a3, b3, v3))
     return hist
+
+
+def _joint_hist_256(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact 256x256 joint histogram of two flat u8 arrays via MXU matmuls."""
+    n = a.shape[0]
+    av = a.astype(jnp.int32)[None, :]
+    bv = b.astype(jnp.int32)[None, :]
+    valid = jnp.ones((1, n), jnp.float32)
+    return _hist_batched(av, bv, valid)[0]
 
 
 def _entropy(p: jax.Array) -> jax.Array:
@@ -72,24 +97,26 @@ def _nmi_from_hist(hist: jax.Array) -> jax.Array:
     return jnp.where(denom > 0, mi / jnp.maximum(denom, 1e-30), 1.0)
 
 
+@jax.jit
+def _nmi_u8_core(a: jax.Array, b: jax.Array) -> jax.Array:
+    return _nmi_from_hist(_joint_hist_256(a, b))
+
+
 def nmi_u8(a, b) -> float:
     """Normalized mutual information of two u8 arrays (flattened)."""
     a = jnp.asarray(a).reshape(-1)
     b = jnp.asarray(b).reshape(-1)
-    return float(_nmi_from_hist(_joint_hist_256(a, b)))
+    return float(_nmi_u8_core(a, b))
 
 
 @functools.partial(jax.jit, static_argnames=("nchunks", "chunk"))
 def _chunked_mean_nmi(a: jax.Array, b: jax.Array, nchunks: int, chunk: int) -> jax.Array:
-    """Mean of per-chunk NMI over equal chunks; the last partial chunk is
-    handled by the caller (it is passed already split)."""
-    a2 = a[: nchunks * chunk].reshape(nchunks, chunk)
-    b2 = b[: nchunks * chunk].reshape(nchunks, chunk)
-
-    def one(ai, bi):
-        return _nmi_from_hist(_joint_hist_256(ai, bi))
-
-    return jax.lax.map(lambda xs: one(*xs), (a2, b2))
+    """Per-chunk NMI over equal chunks, all chunks batched through the MXU;
+    the last partial chunk is handled by the caller."""
+    a2 = a[: nchunks * chunk].reshape(nchunks, chunk).astype(jnp.int32)
+    b2 = b[: nchunks * chunk].reshape(nchunks, chunk).astype(jnp.int32)
+    hists = _hist_batched(a2, b2, jnp.ones_like(a2, jnp.float32))
+    return jax.vmap(_nmi_from_hist)(hists)
 
 
 def mi_tiled(arr1, arr2, tile_size: int) -> float:
@@ -127,5 +154,5 @@ def check_if_higher_similarity(ref_arr, test_arr, init_arr, tile_size: int) -> L
     """Returns ``[MI(ref, test) > MI(ref, init)]`` — the accept/reject gate
     used by both registrators (similarity_scoring.py:61-68)."""
     after, before = mutual_information_test(ref_arr, test_arr, init_arr, tile_size)
-    print("    MI score after:", after, "| MI score before:", before)
+    log("    MI score after:", after, "| MI score before:", before)
     return [after > before]

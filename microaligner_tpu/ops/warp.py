@@ -204,6 +204,7 @@ def compose_flows(flow1: jax.Array, flow2: jax.Array) -> jax.Array:
     return jnp.where(f1_zero, flow2, jnp.where(f2_zero, flow1, merged))
 
 
+@functools.partial(jax.jit, static_argnames=("band",))
 def compose_flows_batched(flow1: jax.Array, flow2: jax.Array, band: int = 8) -> jax.Array:
     """Batched flow composition on the gather-free sampling path."""
     sampled = sample_displaced_batched(flow2, -flow1, band)

@@ -20,6 +20,9 @@ from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 __all__ = ["TileFlowCalc", "calc_flow_tiled"]
 
 
+_TILE_BATCH = 16  # bounds live tile working set (R0/R1 are 5-channel f32)
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "win_size", "num_iter"))
 def calc_flow_tiled(
     ref_img: jax.Array,
@@ -28,10 +31,38 @@ def calc_flow_tiled(
     win_size: int,
     num_iter: int,
 ) -> jax.Array:
-    """(H, W) pair -> (H, W, 2) flow, computed per halo tile and stitched."""
-    ref_tiles = split_into_tiles(ref_img.astype(jnp.float32), grid)
-    mov_tiles = split_into_tiles(mov_img.astype(jnp.float32), grid)
-    flow_tiles = _farneback_core_batched(mov_tiles, ref_tiles, win_size, num_iter, 1, 1.7)
+    """(H, W) pair -> (H, W, 2) flow, computed per halo tile and stitched.
+
+    Tiles run in fixed-size batches (lax.map) so HBM holds one batch's
+    polynomial expansions at a time — a 20k x 20k image has 400 halo tiles,
+    whose expansions would otherwise need ~23 GB.  Tiles keep the input dtype
+    (u8 for DoG images) until inside the kernel.
+    """
+    ref_tiles = split_into_tiles(ref_img, grid)
+    mov_tiles = split_into_tiles(mov_img, grid)
+    n = ref_tiles.shape[0]
+    if n <= _TILE_BATCH:
+        flow_tiles = _farneback_core_batched(
+            mov_tiles.astype(jnp.float32), ref_tiles.astype(jnp.float32),
+            win_size, num_iter, 1, 1.7,
+        )
+        return stitch_tiles(flow_tiles, grid)
+    pad = (-n) % _TILE_BATCH
+    if pad:
+        z = jnp.zeros((pad,) + ref_tiles.shape[1:], ref_tiles.dtype)
+        ref_tiles = jnp.concatenate([ref_tiles, z])
+        mov_tiles = jnp.concatenate([mov_tiles, z])
+    nb = ref_tiles.shape[0] // _TILE_BATCH
+    rt = ref_tiles.reshape((nb, _TILE_BATCH) + ref_tiles.shape[1:])
+    mt = mov_tiles.reshape((nb, _TILE_BATCH) + mov_tiles.shape[1:])
+    flow_tiles = jax.lax.map(
+        lambda mr: _farneback_core_batched(
+            mr[0].astype(jnp.float32), mr[1].astype(jnp.float32),
+            win_size, num_iter, 1, 1.7,
+        ),
+        (mt, rt),
+    )
+    flow_tiles = flow_tiles.reshape((nb * _TILE_BATCH,) + flow_tiles.shape[2:])[:n]
     return stitch_tiles(flow_tiles, grid)
 
 

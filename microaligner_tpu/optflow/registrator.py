@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from microaligner_tpu.utils.logging import log, stage_timer
+
 from microaligner_tpu.ops.filters import dog as _dog
 from microaligner_tpu.ops.filters import pyr_down, pyr_up
 from microaligner_tpu.ops.mutual_info import check_if_higher_similarity
@@ -41,6 +43,16 @@ from microaligner_tpu.utils.img_checks import (
 )
 
 __all__ = ["OptFlowRegistrator", "merge_two_flows"]
+
+
+def _profile_sync(x):
+    """Force a device sync so per-stage timers are attributable (profiling
+    only; block_until_ready is not reliable over the tunneled backend, so a
+    scalar fetch is used)."""
+    from microaligner_tpu.utils.logging import profiling_enabled
+
+    if profiling_enabled():
+        float(jnp.sum(jnp.asarray(x).astype(jnp.float32).ravel()[:1]))
 
 
 def merge_two_flows(flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
@@ -111,30 +123,37 @@ class OptFlowRegistrator:
         num_lvl = len(factors)
         m_flow = None
         for lvl, factor in enumerate(factors):
-            print("Pyramid factor", factor)
+            log("Pyramid factor", factor)
             mov_this_lvl = mov_pyr[lvl]
             grid = TileGrid.for_image(mov_this_lvl.shape, self.tile_size, self.overlap)
 
             if lvl != 0:
-                mov_this_lvl = warp_tiled_dtype(mov_this_lvl, m_flow, grid, dtype_name)
+                with stage_timer(f"lvl{factor} pre-warp"):
+                    mov_this_lvl = warp_tiled_dtype(mov_this_lvl, m_flow, grid, dtype_name)
+                    _profile_sync(mov_this_lvl)
 
-            this_flow = self._calc_flow_dev(
-                _dog(ref_pyr[lvl], self.use_dog),
-                _dog(mov_this_lvl, self.use_dog),
-                win_size,
-            )
+            with stage_timer(f"lvl{factor} dog"):
+                ref_dog = _dog(ref_pyr[lvl], self.use_dog)
+                mov_dog = _dog(mov_this_lvl, self.use_dog)
+                _profile_sync(mov_dog)
+            with stage_timer(f"lvl{factor} flow"):
+                this_flow = self._calc_flow_dev(ref_dog, mov_dog, win_size)
+                _profile_sync(this_flow)
 
-            mov_warped = warp_tiled_dtype(mov_this_lvl, this_flow, grid, dtype_name)
+            with stage_timer(f"lvl{factor} warp"):
+                mov_warped = warp_tiled_dtype(mov_this_lvl, this_flow, grid, dtype_name)
+                _profile_sync(mov_warped)
 
-            is_higher_similarity = check_if_higher_similarity(
-                _dog(ref_pyr[lvl], True),
-                _dog(mov_warped, True),
-                _dog(mov_pyr[lvl], True),
-                self.tile_size,
-            )
+            with stage_timer(f"lvl{factor} mi-gate"):
+                is_higher_similarity = check_if_higher_similarity(
+                    _dog(ref_pyr[lvl], True),
+                    _dog(mov_warped, True),
+                    _dog(mov_pyr[lvl], True),
+                    self.tile_size,
+                )
 
             if any(is_higher_similarity):
-                print("    Better alignment than before")
+                log("    Better alignment than before")
                 if lvl == 0:
                     if num_lvl > 1:
                         m_flow = self._pyr_up_dev(this_flow * 2, mov_pyr[lvl + 1].shape)
@@ -148,7 +167,7 @@ class OptFlowRegistrator:
                     m_flow = self._merge_list_of_flows([m_flow, this_flow])
                     m_flow = self._pyr_up_dev(m_flow * 2, mov_pyr[lvl + 1].shape)
             else:
-                print("    Worse alignment than before")
+                log("    Worse alignment than before")
                 if lvl == 0:
                     if num_lvl > 1:
                         shape = list(mov_pyr[lvl + 1].shape)
@@ -233,12 +252,11 @@ class OptFlowRegistrator:
 
     def _merge_flow_in_tiles(self, flow1, flow2):
         """Tile-wise flow composition (optflow_registrator.py:217-233),
-        device-resident."""
+        device-resident and batch-bounded."""
+        from microaligner_tpu.optflow.warper import compose_flows_tiled
+
         grid = TileGrid.for_image(flow1.shape, self.tile_size, self.overlap)
-        f1 = split_into_tiles(jnp.asarray(flow1), grid)
-        f2 = split_into_tiles(jnp.asarray(flow2), grid)
-        merged = compose_flows_batched(f1, f2)
-        return stitch_tiles(merged, grid)
+        return compose_flows_tiled(jnp.asarray(flow1), jnp.asarray(flow2), grid)
 
     def _merge_list_of_flows(self, flow_list: List[np.ndarray]) -> np.ndarray:
         m_flow = flow_list[0]

@@ -25,13 +25,56 @@ from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 __all__ = ["Warper", "warp_tiled"]
 
 
+_TILE_BATCH = 32  # bounds live tile working set for the apply phase
+
+
 @functools.partial(jax.jit, static_argnames=("grid",))
 def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
-    """Warp ``image`` (H, W) by ``flow`` (H, W, 2) tile-by-tile."""
+    """Warp ``image`` (H, W) by ``flow`` (H, W, 2) tile-by-tile, in bounded
+    batches so 20k-scale planes don't hold every halo tile at once."""
     img_tiles = split_into_tiles(image.astype(jnp.float32), grid)
     flow_tiles = split_into_tiles(flow, grid)
-    warped = warp_with_flow_batched(img_tiles, flow_tiles)
+    n = img_tiles.shape[0]
+    if n <= _TILE_BATCH:
+        warped = warp_with_flow_batched(img_tiles, flow_tiles)
+        return stitch_tiles(warped, grid)
+    pad = (-n) % _TILE_BATCH
+    if pad:
+        img_tiles = jnp.concatenate(
+            [img_tiles, jnp.zeros((pad,) + img_tiles.shape[1:], img_tiles.dtype)]
+        )
+        flow_tiles = jnp.concatenate(
+            [flow_tiles, jnp.zeros((pad,) + flow_tiles.shape[1:], flow_tiles.dtype)]
+        )
+    nb = img_tiles.shape[0] // _TILE_BATCH
+    it = img_tiles.reshape((nb, _TILE_BATCH) + img_tiles.shape[1:])
+    ft = flow_tiles.reshape((nb, _TILE_BATCH) + flow_tiles.shape[1:])
+    warped = jax.lax.map(lambda xf: warp_with_flow_batched(xf[0], xf[1]), (it, ft))
+    warped = warped.reshape((nb * _TILE_BATCH,) + warped.shape[2:])[:n]
     return stitch_tiles(warped, grid)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def compose_flows_tiled(flow1: jax.Array, flow2: jax.Array, grid: TileGrid) -> jax.Array:
+    """Tile-wise flow composition (merge_two_flows over halo tiles, stitched),
+    in bounded batches (reference optflow_registrator.py:217-233)."""
+    from microaligner_tpu.ops.warp import compose_flows_batched
+
+    f1 = split_into_tiles(flow1, grid)
+    f2 = split_into_tiles(flow2, grid)
+    n = f1.shape[0]
+    if n <= _TILE_BATCH:
+        return stitch_tiles(compose_flows_batched(f1, f2), grid)
+    pad = (-n) % _TILE_BATCH
+    if pad:
+        f1 = jnp.concatenate([f1, jnp.zeros((pad,) + f1.shape[1:], f1.dtype)])
+        f2 = jnp.concatenate([f2, jnp.zeros((pad,) + f2.shape[1:], f2.dtype)])
+    nb = f1.shape[0] // _TILE_BATCH
+    a = f1.reshape((nb, _TILE_BATCH) + f1.shape[1:])
+    b = f2.reshape((nb, _TILE_BATCH) + f2.shape[1:])
+    merged = jax.lax.map(lambda xy: compose_flows_batched(xy[0], xy[1]), (a, b))
+    merged = merged.reshape((nb * _TILE_BATCH,) + merged.shape[2:])[:n]
+    return stitch_tiles(merged, grid)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "dtype_name"))

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from microaligner_tpu.utils.logging import log, stage_timer
+
 from microaligner_tpu.features import FeatureRegistrator
 from microaligner_tpu.io.ome import create_new_meta
 from microaligner_tpu.io.tiff import MemmapWriter, TiffFile, read_tiff_page
@@ -149,9 +151,9 @@ def do_feature_reg(
 
     cycles = list(struct.tiff_pages.keys())
     for cyc_id, cyc in enumerate(cycles):
-        print(f"Processing Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
+        log(f"Processing Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
         if cyc == ref_cycle_id:
-            print("Skipping as it is a reference cycle")
+            log("Skipping as it is a reference cycle")
             tmat_per_cycle[cyc] = identity
             padding[cyc] = ref_pad
             continue
@@ -173,7 +175,7 @@ def transform_and_save_freg_imgs(
     ome_meta_per_cyc: Dict[int, str],
     save_to_stack: bool,
 ):
-    print("Transforming images")
+    log("Transforming images")
     cycles = sorted(struct.tiff_pages.keys())
     first_cycle = cycles[0]
     img_path = _first_value(_first_value(struct.img_paths[first_cycle]))
@@ -192,7 +194,7 @@ def transform_and_save_freg_imgs(
         )
 
     for cyc_id, cyc in enumerate(struct.tiff_pages):
-        print(f"Transforming and saving Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
+        log(f"Transforming and saving Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
         if not save_to_stack:
             nch = len(struct.tiff_pages[cyc])
             mm = MemmapWriter(
@@ -237,7 +239,7 @@ def transform_and_save_freg_imgs(
 
 
 def run_feature_reg(config: PipelineConfig, target_shape) -> Dict:
-    print("Performing linear feature based image registration")
+    log("Performing linear feature based image registration")
     inp = config.Input
     out_dir = Path(config.Output.OutputDir)
     out_prefix = config.Output.OutputPrefix
@@ -317,7 +319,7 @@ def register_and_save_ofreg_imgs(
 
     ref_img = None
     for cyc_id, cyc in enumerate(cycles):
-        print(f"Processing Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
+        log(f"Processing Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
         if not save_to_stack:
             nch = len(struct.tiff_pages[cyc])
             mm = MemmapWriter(
@@ -331,7 +333,7 @@ def register_and_save_ofreg_imgs(
         pages = struct.tiff_pages[cyc][ref_ch]
 
         if cyc == first_cycle:
-            print("Skipping as it is a reference image")
+            log("Skipping as it is a reference image")
             ref_img = read_and_max_project_pages(paths, pages)
             for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
                 out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
@@ -348,7 +350,7 @@ def register_and_save_ofreg_imgs(
             warper.image = mov_img
             warper.flow = flow
             ref_img = warper.warp()  # next cycle registers against this
-            print(f"Saving Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
+            log(f"Saving Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
             from microaligner_tpu.pipeline.apply import stream_apply
             from microaligner_tpu.tiles import TileGrid
 
@@ -398,7 +400,7 @@ def run_opt_flow_reg(config: PipelineConfig, img_paths, target_shape):
         if not input_is_stack_of:
             paths = [Path(v) for v in config.Input.InputImagePaths.values()]
             if not check_input_img_dims_match(paths):
-                print(
+                log(
                     "Image dimensions do not match. "
                     "This probably means that they are not aligned. "
                     "Will try to perform FeatureReg first"
@@ -423,12 +425,12 @@ def run_opt_flow_reg(config: PipelineConfig, img_paths, target_shape):
         "stack": out_prefix + "optflow_reg_result_stack.tif",
         "per_cycle": out_prefix + "optflow_reg_result_cyc{cyc:03d}.tif",
     }
-    print("Performing non-linear optical flow based image registration")
+    log("Performing non-linear optical flow based image registration")
     register_and_save_ofreg_imgs(
         struct, out_dir, filenames, p.TileSize, p.Overlap, p.NumberPyramidLevels,
         p.NumberIterationsPerLevel, new_ome, output_is_stack, p.UseFullResImage, p.UseDOG,
     )
-    print("Finished\n")
+    log("Finished\n")
 
 
 def get_img_path_list(config: PipelineConfig) -> List[Path]:
