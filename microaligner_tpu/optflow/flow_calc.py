@@ -55,15 +55,23 @@ def calc_flow_tiled(
     nb = ref_tiles.shape[0] // _TILE_BATCH
     rt = ref_tiles.reshape((nb, _TILE_BATCH) + ref_tiles.shape[1:])
     mt = mov_tiles.reshape((nb, _TILE_BATCH) + mov_tiles.shape[1:])
-    flow_tiles = jax.lax.map(
-        lambda mr: _farneback_core_batched(
+
+    def one_chunk(mr):
+        flow = _farneback_core_batched(
             mr[0].astype(jnp.float32), mr[1].astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
-        ),
-        (mt, rt),
+        )
+        # return x/y channels separately: a rank-5 stack with a trailing dim
+        # of 2 can get a T(8,128) layout (64x padding) at 20k scale
+        return flow[..., 0], flow[..., 1]
+
+    fx, fy = jax.lax.map(one_chunk, (mt, rt))
+    th, tw = grid.tile_shape
+    fx = fx.reshape(nb * _TILE_BATCH, th, tw)[:n]
+    fy = fy.reshape(nb * _TILE_BATCH, th, tw)[:n]
+    return jnp.stack(
+        [stitch_tiles(fx, grid), stitch_tiles(fy, grid)], axis=-1
     )
-    flow_tiles = flow_tiles.reshape((nb * _TILE_BATCH,) + flow_tiles.shape[2:])[:n]
-    return stitch_tiles(flow_tiles, grid)
 
 
 class TileFlowCalc:

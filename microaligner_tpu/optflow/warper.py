@@ -28,15 +28,29 @@ __all__ = ["Warper", "warp_tiled"]
 _TILE_BATCH = 32  # bounds live tile working set for the apply phase
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
-    """Warp ``image`` (H, W) by ``flow`` (H, W, 2) tile-by-tile, in bounded
-    batches so 20k-scale planes don't hold every halo tile at once."""
-    img_tiles = split_into_tiles(image.astype(jnp.float32), grid)
+@functools.partial(jax.jit, static_argnames=("grid", "out_dtype_name"))
+def _warp_tiled_impl(image: jax.Array, flow: jax.Array, grid: TileGrid, out_dtype_name: str) -> jax.Array:
+    """Tiled warp with bounded batches and minimal live memory:
+
+    * tiles are split in the image's native dtype (u8/u16 planes stay small),
+    * each chunk is cast -> warped -> rounded back inside the map, so only
+      output-dtype tiles accumulate,
+    * flow channels travel separately (a rank-5 stack with a trailing dim of
+      2 can get a T(8,128) layout = 64x padding at 20k scale).
+    """
+    out_dt = jnp.dtype(out_dtype_name)
+
+    def finish(w):
+        if jnp.issubdtype(out_dt, jnp.integer):
+            info = jnp.iinfo(out_dt)
+            w = jnp.clip(jnp.round(w), info.min, info.max)
+        return w.astype(out_dt)
+
+    img_tiles = split_into_tiles(image, grid)
     flow_tiles = split_into_tiles(flow, grid)
     n = img_tiles.shape[0]
     if n <= _TILE_BATCH:
-        warped = warp_with_flow_batched(img_tiles, flow_tiles)
+        warped = finish(warp_with_flow_batched(img_tiles.astype(jnp.float32), flow_tiles))
         return stitch_tiles(warped, grid)
     pad = (-n) % _TILE_BATCH
     if pad:
@@ -47,11 +61,25 @@ def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
             [flow_tiles, jnp.zeros((pad,) + flow_tiles.shape[1:], flow_tiles.dtype)]
         )
     nb = img_tiles.shape[0] // _TILE_BATCH
-    it = img_tiles.reshape((nb, _TILE_BATCH) + img_tiles.shape[1:])
-    ft = flow_tiles.reshape((nb, _TILE_BATCH) + flow_tiles.shape[1:])
-    warped = jax.lax.map(lambda xf: warp_with_flow_batched(xf[0], xf[1]), (it, ft))
-    warped = warped.reshape((nb * _TILE_BATCH,) + warped.shape[2:])[:n]
+    th, tw = grid.tile_shape
+    it = img_tiles.reshape((nb, _TILE_BATCH, th, tw))
+    fx = flow_tiles[..., 0].reshape(nb, _TILE_BATCH, th, tw)
+    fy = flow_tiles[..., 1].reshape(nb, _TILE_BATCH, th, tw)
+    warped = jax.lax.map(
+        lambda xf: finish(
+            warp_with_flow_batched(
+                xf[0].astype(jnp.float32), jnp.stack([xf[1], xf[2]], axis=-1)
+            )
+        ),
+        (it, fx, fy),
+    )
+    warped = warped.reshape((nb * _TILE_BATCH, th, tw))[:n]
     return stitch_tiles(warped, grid)
+
+
+def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
+    """Warp ``image`` (H, W) by ``flow`` (H, W, 2) tile-by-tile (f32 output)."""
+    return _warp_tiled_impl(image, flow, grid, "float32")
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -70,22 +98,34 @@ def compose_flows_tiled(flow1: jax.Array, flow2: jax.Array, grid: TileGrid) -> j
         f1 = jnp.concatenate([f1, jnp.zeros((pad,) + f1.shape[1:], f1.dtype)])
         f2 = jnp.concatenate([f2, jnp.zeros((pad,) + f2.shape[1:], f2.dtype)])
     nb = f1.shape[0] // _TILE_BATCH
-    a = f1.reshape((nb, _TILE_BATCH) + f1.shape[1:])
-    b = f2.reshape((nb, _TILE_BATCH) + f2.shape[1:])
-    merged = jax.lax.map(lambda xy: compose_flows_batched(xy[0], xy[1]), (a, b))
-    merged = merged.reshape((nb * _TILE_BATCH,) + merged.shape[2:])[:n]
-    return stitch_tiles(merged, grid)
+    th, tw = grid.tile_shape
+
+    def split_xy(f):
+        return (
+            f[..., 0].reshape(nb, _TILE_BATCH, th, tw),
+            f[..., 1].reshape(nb, _TILE_BATCH, th, tw),
+        )
+
+    a_x, a_y = split_xy(f1)
+    b_x, b_y = split_xy(f2)
+
+    def one(args):
+        ax, ay, bx, by = args
+        merged = compose_flows_batched(
+            jnp.stack([ax, ay], axis=-1), jnp.stack([bx, by], axis=-1)
+        )
+        return merged[..., 0], merged[..., 1]
+
+    mx, my = jax.lax.map(one, (a_x, a_y, b_x, b_y))
+    mx = mx.reshape(nb * _TILE_BATCH, th, tw)[:n]
+    my = my.reshape(nb * _TILE_BATCH, th, tw)[:n]
+    return jnp.stack([stitch_tiles(mx, grid), stitch_tiles(my, grid)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "dtype_name"))
 def warp_tiled_dtype(image: jax.Array, flow: jax.Array, grid: TileGrid, dtype_name: str) -> jax.Array:
-    """Tiled warp rounded back to an integer dtype (cv.remap rounds)."""
-    out = warp_tiled(image, flow, grid)
-    dt = jnp.dtype(dtype_name)
-    if jnp.issubdtype(dt, jnp.integer):
-        info = jnp.iinfo(dt)
-        out = jnp.clip(jnp.round(out), info.min, info.max)
-    return out.astype(dt)
+    """Tiled warp rounded back to an integer dtype (cv.remap rounds),
+    rounding inside each tile batch to bound live memory."""
+    return _warp_tiled_impl(image, flow, grid, dtype_name)
 
 
 class Warper:
