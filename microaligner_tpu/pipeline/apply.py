@@ -51,11 +51,19 @@ def stream_apply(
     try:
         for key, plane in planes:
             out = device_fn(plane)  # async dispatch
-            wq.put((key, out))
-            if errors:
-                break
+            # bounded put that keeps checking for writer death — a plain
+            # blocking put deadlocks if the writer exits with a full queue
+            while True:
+                if errors:
+                    raise errors[0]
+                try:
+                    wq.put((key, out), timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
     finally:
-        wq.put(None)
-        wt.join()
+        if not errors:
+            wq.put(None)
+        wt.join(timeout=600)
     if errors:
         raise errors[0]
