@@ -126,7 +126,7 @@ def _sample_take_one(img: jax.Array, flow: jax.Array) -> jax.Array:
     return bilinear_remap(img, gx + flow[..., 0], gy + flow[..., 1])
 
 
-def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 8) -> jax.Array:
+def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -> jax.Array:
     """Batched ``out(p) = bilinear imgs(p + flow(p))``, zero outside.
 
     ``imgs`` is (N, H, W, C); ``flows`` is (N, H, W, 2).  Uses the banded
@@ -147,15 +147,33 @@ def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 8) -
     abs_y = gy + dyi
     fully_outside = (abs_x < -1) | (abs_x > w - 1) | (abs_y < -1) | (abs_y > h - 1)
     ok = jnp.all(in_band | fully_outside)
+
+    use_pallas = (
+        imgs.shape[-1] == 1
+        and band <= 4  # kernel stack scales with band^2; >4 exceeds VMEM
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+    def banded(args):
+        im, fl = args
+        if use_pallas:
+            from microaligner_tpu.ops.pallas_sample import pallas_sample_displaced
+
+            x1i, y1i, tx, ty = jax.vmap(_displacement_fields)(fl)
+            return pallas_sample_displaced(
+                im[..., 0], x1i, y1i, tx, ty, band=band
+            )[..., None]
+        return jax.vmap(lambda i, f: _sample_banded_one(i, f, band))(im, fl)
+
     return jax.lax.cond(
         ok,
-        lambda args: jax.vmap(lambda i, f: _sample_banded_one(i, f, band))(*args),
+        banded,
         lambda args: jax.vmap(_sample_take_one)(*args),
         (imgs, flows),
     )
 
 
-def warp_with_flow_batched(imgs: jax.Array, flows: jax.Array, band: int = 8) -> jax.Array:
+def warp_with_flow_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -> jax.Array:
     """Batched Warper kernel: out(p) = imgs(p - flow(p)) (reference
     optflow_reg/warper.py:55-67 semantics), gather-free when in band."""
     squeeze = imgs.ndim == 3
@@ -205,7 +223,7 @@ def compose_flows(flow1: jax.Array, flow2: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("band",))
-def compose_flows_batched(flow1: jax.Array, flow2: jax.Array, band: int = 8) -> jax.Array:
+def compose_flows_batched(flow1: jax.Array, flow2: jax.Array, band: int = 4) -> jax.Array:
     """Batched flow composition on the gather-free sampling path."""
     sampled = sample_displaced_batched(flow2, -flow1, band)
     merged = flow1 + sampled
