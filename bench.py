@@ -15,10 +15,16 @@ vs_baseline = TPU throughput / host-CPU throughput.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: the remote TPU compiler is slow and its cache is
+# per-process; this makes driver re-runs warm-start
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/microaligner_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def _make_pair(h, w, seed=0):
