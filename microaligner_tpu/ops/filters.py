@@ -62,27 +62,26 @@ def _reflect101_pad_2d(img: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
     return jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
 
 
-def _conv1d_lastdim(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """VALID correlation of a stack of rows with a 1-D kernel along the last axis.
+def _corr1d_axis(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
+    """VALID correlation with a 1-D kernel along ``axis`` via shifted-slice FMAs.
 
-    ``img`` has shape (..., W); the result is (..., W - K + 1).  Lowered through
-    ``lax.conv_general_dilated`` so XLA maps it onto the TPU convolution path.
+    TPU's conv lowering for single-channel 1-D kernels is pathologically slow
+    (tiny matmuls / reduce_window); an unrolled shift-add keeps the whole pass
+    in one fused full-f32 VPU loop and needs no transposes for the row axis.
     """
     k = kernel.shape[0]
-    lead = img.shape[:-1]
-    x = img.reshape((-1, 1, img.shape[-1]))  # (N, C=1, W)
-    w = kernel.reshape((1, 1, k)).astype(img.dtype)  # (O, I, K)
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        # Full f32: TPU's default conv precision is bf16-ish, which would cost
-        # ~1e-3 relative error — too coarse for the <1e-3 warp-MSE parity target.
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y.reshape(lead + (y.shape[-1],))
+    out_len = x.shape[axis] - k + 1
+    acc = None
+    for i in range(k):
+        sl = jax.lax.slice_in_dim(x, i, i + out_len, axis=axis)
+        t = sl * kernel[i]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _conv1d_lastdim(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """VALID correlation along the last axis, same contract as before."""
+    return _corr1d_axis(img, kernel.astype(img.dtype), -1)
 
 
 def sep_filter2d(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
@@ -96,8 +95,8 @@ def sep_filter2d(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
     rh = (ky.shape[0] - 1) // 2
     rw = (kx.shape[0] - 1) // 2
     p = _reflect101_pad_2d(img, rh, rw)
-    p = _conv1d_lastdim(p, kx)  # along W
-    p = _conv1d_lastdim(p.T, ky).T  # along H
+    p = _corr1d_axis(p, kx, -1)  # along W
+    p = _corr1d_axis(p, ky, -2)  # along H
     return p
 
 

@@ -115,10 +115,14 @@ def _self_test() -> bool:
             img, x1.astype(jnp.int32), y1.astype(jnp.int32), fx - x1, fy - y1, band=4
         )
         out = np.asarray(out)
-        from microaligner_tpu.ops.warp import sample_displaced_batched
+        # compare against the XLA banded path directly (NOT the public
+        # dispatcher, which consults pallas_available -> would recurse)
+        from microaligner_tpu.ops.warp import _sample_banded_one
 
         ref = np.asarray(
-            sample_displaced_batched(img[..., None], jnp.asarray(flow, jnp.float32), band=4)
+            jax.jit(
+                jax.vmap(lambda i, f: _sample_banded_one(i, f, 4))
+            )(img[..., None], jnp.asarray(flow, jnp.float32))
         )[..., 0]
         return bool(np.allclose(out, ref, atol=1e-5))
     except Exception:

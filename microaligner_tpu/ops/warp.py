@@ -151,8 +151,15 @@ def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -
     use_pallas = (
         imgs.shape[-1] == 1
         and band <= 4  # kernel stack scales with band^2; >4 exceeds VMEM
+        and h >= 2 * band + 1  # row-block slicing needs this many rows
         and jax.default_backend() in ("tpu", "axon")
     )
+    if use_pallas:
+        # compile-and-compare guard: a Mosaic miscompile on an untested TPU
+        # generation must fall back to the XLA path, not corrupt results
+        from microaligner_tpu.ops.pallas_sample import pallas_available
+
+        use_pallas = pallas_available()
 
     def banded(args):
         im, fl = args

@@ -38,29 +38,6 @@ _BORDER = 5
 _BORDER_SCALE = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], dtype=np.float32)
 
 
-def _replicate_pad_last(x: jax.Array, r: int) -> jax.Array:
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="edge")
-
-
-def _corr1d_lastdim(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Replicate-padded correlation along the last axis, same-size output."""
-    k = kernel.shape[0]
-    r = (k - 1) // 2
-    xp = _replicate_pad_last(x, r)
-    lead = xp.shape[:-1]
-    xin = xp.reshape((-1, 1, xp.shape[-1]))
-    w = kernel.reshape((1, 1, k)).astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        xin,
-        w,  # lax.conv_general_dilated is cross-correlation already (no flip)
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y.reshape(lead + (y.shape[-1],))
-
-
 @functools.lru_cache(maxsize=None)
 def _poly_exp_coeffs(n: int, sigma: float):
     """Gaussian applicability kernels + the normal-matrix inverse entries.
@@ -92,28 +69,48 @@ def _poly_exp_coeffs(n: int, sigma: float):
     )
 
 
-def poly_exp(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
-    """Polynomial expansion -> (H, W, 5) channels [b_y, b_x, A_yy, A_xx, A_xy]."""
+def _corr_axis_multi(x: jax.Array, kernels, axis: int):
+    """Correlate (..., H, W) with several short 1-D kernels along one axis.
+
+    Replicate-padded, same-size output, one shifted-slice FMA pass per tap —
+    all kernels share the slice reads, and XLA fuses the whole thing into a
+    single VPU loop.  TPU's conv lowering is pathologically slow for
+    single-channel 1-D kernels, so this shift-add form is ~5x faster and
+    also avoids the transposes the conv formulation needed.
+    """
+    taps = kernels[0].shape[0]
+    r = (taps - 1) // 2
+    size = x.shape[axis]
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis if axis >= 0 else x.ndim + axis] = (r, r)
+    xp = jnp.pad(x, pad_width, mode="edge")
+    outs = [None] * len(kernels)
+    for i in range(taps):
+        sl = jax.lax.slice_in_dim(xp, i, i + size, axis=axis)
+        for j, ker in enumerate(kernels):
+            wgt = float(ker[i])
+            if wgt == 0.0:
+                continue
+            t = sl * wgt
+            outs[j] = t if outs[j] is None else outs[j] + t
+    return [o if o is not None else jnp.zeros_like(x) for o in outs]
+
+
+def _poly_exp_cf(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
+    """Polynomial expansion -> (5, H, W) channels [b_y, b_x, A_yy, A_xx, A_xy].
+
+    Channels-first: a trailing length-5 axis gets padded to the TPU's 128-lane
+    tile and the whole hot loop works per-channel anyway.
+    """
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_coeffs(n, float(sigma))
-    kg = jnp.asarray(g)
-    # first-moment kernel: xg is odd, so sum_k xg[k]*(f(x+k)-f(x-k)) over k>0
-    # equals the plain correlation with xg over the full [-n, n] support
-    kxg = jnp.asarray(xg)
-    kxxg = jnp.asarray(xxg)
 
     f = img.astype(jnp.float32)
-    # vertical pass (rows axis): correlate along H by operating on the transpose
-    ft = f.T  # (W, H)
-    row0 = _corr1d_lastdim(ft, kg).T
-    row1 = _corr1d_lastdim(ft, kxg).T
-    row2 = _corr1d_lastdim(ft, kxxg).T
+    # vertical pass (rows axis), all three moment kernels in one fused sweep
+    row0, row1, row2 = _corr_axis_multi(f, (g, xg, xxg), axis=-2)
     # horizontal pass
-    b1 = _corr1d_lastdim(row0, kg)
-    b2 = _corr1d_lastdim(row0, kxg)
-    b3 = _corr1d_lastdim(row1, kg)
-    b4 = _corr1d_lastdim(row0, kxxg)
-    b5 = _corr1d_lastdim(row2, kg)
-    b6 = _corr1d_lastdim(row1, kxg)
+    b1, b2, b4 = _corr_axis_multi(row0, (g, xg, xxg), axis=-1)
+    b3, b6 = _corr_axis_multi(row1, (g, xg), axis=-1)
+    (b5,) = _corr_axis_multi(row2, (g,), axis=-1)
 
     return jnp.stack(
         [
@@ -123,8 +120,13 @@ def poly_exp(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
             b4 * ig33 + b1 * ig03,   # A_xx
             b6 * ig55,               # A_xy
         ],
-        axis=-1,
+        axis=0,
     )
+
+
+def poly_exp(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
+    """Polynomial expansion -> (H, W, 5), the public channels-last view."""
+    return jnp.moveaxis(_poly_exp_cf(img, n, sigma), 0, -1)
 
 
 # Displacement band (pixels) covered by the fast sampling path.  Per-level
@@ -133,77 +135,8 @@ def poly_exp(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
 _BAND = 4
 
 
-def _sample_fields(R1: jax.Array, flow: jax.Array):
-    h, w = flow.shape[:2]
-    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    fx = gx + flow[..., 0]
-    fy = gy + flow[..., 1]
-    x1 = jnp.floor(fx)
-    y1 = jnp.floor(fy)
-    tx = fx - x1
-    ty = fy - y1
-    x1i = x1.astype(jnp.int32)
-    y1i = y1.astype(jnp.int32)
-    # OpenCV treats a sample as valid only when the whole 2x2 stencil is inside.
-    inb = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
-    return x1i, y1i, tx, ty, inb
-
-
-def _bilinear_sample_r_batched(R1: jax.Array, flow: jax.Array):
-    """Batched bilinear sample of the 5-channel expansion at p + flow(p).
-
-    ``R1`` is (N, H, W, 5), ``flow`` is (N, H, W, 2).  Rides the shared
-    gather-free banded sampler (ops/warp.py) with its exact runtime fallback;
-    sampled values at not-in-bounds pixels are discarded by the caller, so
-    the zero-outside semantics of that sampler are irrelevant there.
-    """
-    from microaligner_tpu.ops.warp import sample_displaced_batched
-
-    x1i, y1i, tx, ty, inb = jax.vmap(_sample_fields)(R1, flow)
-    samp = sample_displaced_batched(R1, flow, band=_BAND)
-    return samp, inb, tx, ty
-
-
-def _bilinear_sample_r(R1: jax.Array, flow: jax.Array):
-    """Single-image wrapper around the batched sampler."""
-    samp, inb, tx, ty = _bilinear_sample_r_batched(R1[None], flow[None])
-    return samp[0], inb[0], tx[0], ty[0]
-
-
-def _update_matrices_zero_flow(R0: jax.Array, R1: jax.Array) -> jax.Array:
-    """First-call fast path: flow == 0 samples R1 exactly (no gather)."""
-    h, w = R0.shape[:2]
-    zero_flow = jnp.zeros((h, w, 2), jnp.float32)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    inb = (ix < w - 1) & (iy < h - 1)
-    return _combine_matrices(R0, R1, zero_flow[..., 0], zero_flow[..., 1], R1, inb, h, w)
-
-
-def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
-    """Per-pixel displacement normal equations M = [G11, G12, G22, h1, h2]."""
-    h, w = flow.shape[:2]
-    dx = flow[..., 0]
-    dy = flow[..., 1]
-    samp, inb, _, _ = _bilinear_sample_r(R1, flow)
-    return _combine_matrices(R0, R1, dx, dy, samp, inb, h, w)
-
-
-def _combine_matrices(R0, R1, dx, dy, samp, inb, h, w) -> jax.Array:
-
-    r2 = jnp.where(inb, samp[..., 0], 0.0)
-    r3 = jnp.where(inb, samp[..., 1], 0.0)
-    r4 = jnp.where(inb, (R0[..., 2] + samp[..., 2]) * 0.5, R0[..., 2])
-    r5 = jnp.where(inb, (R0[..., 3] + samp[..., 3]) * 0.5, R0[..., 3])
-    r6 = jnp.where(inb, (R0[..., 4] + samp[..., 4]) * 0.25, R0[..., 4] * 0.5)
-
-    r2 = (R0[..., 0] - r2) * 0.5
-    r3 = (R0[..., 1] - r3) * 0.5
-    r2 = r2 + r4 * dy + r6 * dx
-    r3 = r3 + r6 * dy + r5 * dx
-
-    # border down-weighting of the outer 5 px
+def _edge_scale_map(h: int, w: int) -> jax.Array:
+    """Per-pixel border down-weighting of the outer 5 px (OpenCV semantics)."""
     bs = jnp.asarray(_BORDER_SCALE)
     ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -215,7 +148,27 @@ def _combine_matrices(R0, R1, dx, dy, samp, inb, h, w) -> jax.Array:
         )
         return lead * trail
 
-    scale = edge_scale(ix, w) * edge_scale(iy, h)
+    return edge_scale(ix, w) * edge_scale(iy, h)
+
+
+def _combine_matrices_cf(R0, dx, dy, samp, inb) -> jax.Array:
+    """Normal equations M = [G11, G12, G22, h1, h2], channels-first.
+
+    ``R0``/``samp`` are (5, H, W); ``dx``/``dy``/``inb`` are (H, W).
+    """
+    h, w = R0.shape[-2:]
+    r2 = jnp.where(inb, samp[0], 0.0)
+    r3 = jnp.where(inb, samp[1], 0.0)
+    r4 = jnp.where(inb, (R0[2] + samp[2]) * 0.5, R0[2])
+    r5 = jnp.where(inb, (R0[3] + samp[3]) * 0.5, R0[3])
+    r6 = jnp.where(inb, (R0[4] + samp[4]) * 0.25, R0[4] * 0.5)
+
+    r2 = (R0[0] - r2) * 0.5
+    r3 = (R0[1] - r3) * 0.5
+    r2 = r2 + r4 * dy + r6 * dx
+    r3 = r3 + r6 * dy + r5 * dx
+
+    scale = _edge_scale_map(h, w)
     r2 = r2 * scale
     r3 = r3 * scale
     r4 = r4 * scale
@@ -230,8 +183,126 @@ def _combine_matrices(R0, R1, dx, dy, samp, inb, h, w) -> jax.Array:
             r4 * r2 + r6 * r3,   # h1
             r6 * r2 + r5 * r3,   # h2
         ],
-        axis=-1,
+        axis=0,
     )
+
+
+def _update_matrices_zero_flow_cf(R0: jax.Array, R1: jax.Array) -> jax.Array:
+    """First-iteration fast path: flow == 0 samples R1 exactly (no gather)."""
+    h, w = R0.shape[-2:]
+    zero = jnp.zeros((h, w), jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    inb = (ix < w - 1) & (iy < h - 1)
+    return _combine_matrices_cf(R0, zero, zero, R1, inb)
+
+
+_PALLAS_MATRICES_OK: bool | None = None
+
+
+def _pallas_matrices_available(h: int, band: int) -> bool:
+    """Static (trace-time) gate for the fused Mosaic matrix-update kernel."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if h < 2 * band + 1:
+        return False
+    global _PALLAS_MATRICES_OK
+    if _PALLAS_MATRICES_OK is None:
+        _PALLAS_MATRICES_OK = _pallas_matrices_self_test()
+    return _PALLAS_MATRICES_OK
+
+
+def _pallas_matrices_self_test() -> bool:
+    """Compile-and-compare the Mosaic kernel against the XLA path here."""
+    try:
+        from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
+
+        rng = np.random.default_rng(0)
+        R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
+        R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
+        fx = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
+        fy = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
+        dxi = jnp.floor(fx).astype(jnp.int32)
+        dyi = jnp.floor(fy).astype(jnp.int32)
+        got = np.asarray(
+            pallas_update_matrices(R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4)
+        )
+        want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+        return bool(np.allclose(got, want, atol=1e-4))
+    except Exception:
+        return False
+
+
+def _update_matrices_banded_xla(R0, R1, fx, fy, band):
+    """XLA banded-sample + combine (CPU path / Mosaic cross-check)."""
+    from microaligner_tpu.ops.warp import _sample_banded_one
+
+    h, w = fx.shape[-2:]
+    flow = jnp.stack([fx, fy], axis=-1)
+    R1_cl = jnp.moveaxis(R1, 1, -1)
+    samp_cl = jax.vmap(lambda im, fl: _sample_banded_one(im, fl, band))(R1_cl, flow)
+    samp = jnp.moveaxis(samp_cl, -1, 1)
+    inb = _inbounds_map(fx, fy, h, w)
+    return jax.vmap(_combine_matrices_cf)(R0, fx, fy, samp, inb)
+
+
+def _inbounds_map(fx, fy, h, w):
+    """OpenCV validity: the whole 2x2 stencil of p + flow(p) is inside."""
+    gx = jax.lax.broadcasted_iota(jnp.int32, fx.shape, fx.ndim - 1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, fy.shape, fy.ndim - 2)
+    ax = gx + jnp.floor(fx).astype(jnp.int32)
+    ay = gy + jnp.floor(fy).astype(jnp.int32)
+    return (ax >= 0) & (ax < w - 1) & (ay >= 0) & (ay < h - 1)
+
+
+def _update_matrices_batched_cf(R0, R1, fx, fy):
+    """Batched matrix update, (N, 5, H, W) channels-first.
+
+    Picks one of three implementations with ONE lax.cond at batch level:
+    the fused Mosaic kernel (TPU), the XLA banded select-FMA path (CPU /
+    Mosaic unavailable), or the exact gather fallback when any displacement
+    leaves the static band — so results always match cv2's update semantics.
+    """
+    n, c, h, w = R0.shape
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 2)
+    gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 1)
+    in_band = (
+        (dxi >= -_BAND) & (dxi <= _BAND - 1) & (dyi >= -_BAND) & (dyi <= _BAND - 1)
+    )
+    # pixels whose whole 2x2 stencil is outside take the border branch of the
+    # combine in both paths, so they don't need band coverage
+    ax = gx + dxi
+    ay = gy + dyi
+    fully_outside = (ax < -1) | (ax > w - 1) | (ay < -1) | (ay > h - 1)
+    ok = jnp.all(in_band | fully_outside)
+
+    use_pallas = _pallas_matrices_available(h, _BAND)
+
+    def banded(args):
+        R0_, R1_, fx_, fy_ = args
+        if use_pallas:
+            from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
+
+            dxi_ = jnp.floor(fx_).astype(jnp.int32)
+            dyi_ = jnp.floor(fy_).astype(jnp.int32)
+            return pallas_update_matrices(
+                R0_, R1_, dxi_, dyi_, fx_ - dxi_, fy_ - dyi_, band=_BAND
+            )
+        return _update_matrices_banded_xla(R0_, R1_, fx_, fy_, _BAND)
+
+    def exact(args):
+        R0_, R1_, fx_, fy_ = args
+        from microaligner_tpu.ops.warp import _sample_take_one
+
+        flow = jnp.stack([fx_, fy_], axis=-1)
+        samp_cl = jax.vmap(_sample_take_one)(jnp.moveaxis(R1_, 1, -1), flow)
+        samp = jnp.moveaxis(samp_cl, -1, 1)
+        inb = _inbounds_map(fx_, fy_, h, w)
+        return jax.vmap(_combine_matrices_cf)(R0_, fx_, fy_, samp, inb)
+
+    return jax.lax.cond(ok, banded, exact, (R0, R1, fx, fy))
 
 
 @functools.lru_cache(maxsize=None)
@@ -250,7 +321,7 @@ def _banded_smooth_matrix(length: int, winsize: int) -> np.ndarray:
     """(L, L) matrix equivalent of the replicate-padded Gaussian correlation.
 
     The window aggregation is the FLOP-heavy stage (winsize ~= overlap, e.g.
-    99 taps); expressing it as a banded dense matmul moves it from the VPU
+    99 taps); expressing it as a banded matmul moves it from the VPU
     conv path onto the MXU, which is an order of magnitude faster here.
     """
     k = _agg_kernel(winsize).astype(np.float64)
@@ -262,23 +333,229 @@ def _banded_smooth_matrix(length: int, winsize: int) -> np.ndarray:
     return B.astype(np.float32)
 
 
+# MXU-native block size for the block-banded aggregation matmuls.
+_AGG_BLOCK = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _block_banded_factors(length: int, winsize: int, block: int):
+    """Blocked form of the banded smooth operator.
+
+    A dense (L, L) matmul wastes ~(1 - winsize/L) of its FLOPs on the empty
+    band.  Chopping the operator into (block, block) tiles keeps only the
+    2r+1 block diagonals that intersect the band (r = ceil(halfwin/block)),
+    each applied as an MXU-shaped batched matmul.
+
+    Returns (r, nb, factors) with ``factors[d+r]`` an (nb, block, block)
+    array such that  y_block[n] = sum_d x_block[n+d] @ factors[d+r][n].
+    """
+    dense = _banded_smooth_matrix(length, winsize).astype(np.float64)
+    m = winsize // 2
+    r = -(-m // block)
+    nb = -(-length // block)
+    lp = nb * block
+    D = np.zeros((lp, lp), np.float64)
+    D[:length, :length] = dense
+    factors = []
+    for d in range(-r, r + 1):
+        F = np.zeros((nb, block, block), np.float32)
+        for n in range(nb):
+            i0 = (n + d) * block
+            if 0 <= i0 < lp:
+                F[n] = D[i0 : i0 + block, n * block : (n + 1) * block]
+        factors.append(F)
+    return r, nb, factors
+
+
+def _agg_precision():
+    """MXU precision for the window aggregation.
+
+    HIGH (3-pass bf16) halves the cost of HIGHEST (6-pass) and keeps the
+    flow within the cv2 parity bars (mean < 1e-3 px, max < 0.05 px) —
+    validated on real TPU hardware (CPU f32 matmuls don't exercise the
+    bf16 passes, so this is checked by scripts/tpu_parity_check.py rather
+    than the CPU test suite).  Override with MICROALIGNER_TPU_AGG_PRECISION.
+    """
+    import os
+
+    name = os.environ.get("MICROALIGNER_TPU_AGG_PRECISION", "high").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+@functools.lru_cache(maxsize=None)
+def _block_banded_shared(length: int, winsize: int, block: int):
+    """Split the blocked operator into a shared interior factor per diagonal
+    plus the boundary blocks that differ (replicate-pad accumulation and
+    remainder truncation live only in the outer blocks).
+
+    Returns (r, nb, shared, fixups): ``shared[d+r]`` is the (block, block)
+    Toeplitz factor applied to every block; ``fixups`` is a list of
+    (n, [per-d (block, block) exact factors]) for the blocks where the shared
+    product must be recomputed exactly.
+    """
+    r, nb, factors = _block_banded_factors(length, winsize, block)
+    mid = nb // 2
+    shared = [F[mid] for F in factors]
+    fixups = []
+    for n in range(nb):
+        if any(not np.array_equal(factors[d][n], shared[d]) for d in range(2 * r + 1)):
+            fixups.append((n, [factors[d][n] for d in range(2 * r + 1)]))
+    return r, nb, shared, fixups
+
+
+def _shift_blocks(xb: jax.Array, d: int, axis: int) -> jax.Array:
+    """Shift the block axis by d (zero fill), i.e. result block n = x block n+d."""
+    if d == 0:
+        return xb
+    nb = xb.shape[axis]
+    pad_shape = list(xb.shape)
+    pad_shape[axis] = abs(d)
+    zeros = jnp.zeros(pad_shape, xb.dtype)
+    if d > 0:
+        body = jax.lax.slice_in_dim(xb, d, nb, axis=axis)
+        return jnp.concatenate([body, zeros], axis=axis)
+    body = jax.lax.slice_in_dim(xb, 0, nb + d, axis=axis)
+    return jnp.concatenate([zeros, body], axis=axis)
+
+
+def _block_smooth_axis(x: jax.Array, winsize: int, axis: int, block: int = _AGG_BLOCK) -> jax.Array:
+    """Smooth along ``axis`` (-1 or -2) via block-banded MXU matmuls (exact).
+
+    The band occupies only ~winsize/L of a dense (L, L) operator; applying the
+    2r+1 non-empty block diagonals as plain unbatched matmuls (shared interior
+    factor, exact overwrite of the few boundary blocks) cuts the FLOPs ~3x
+    AND avoids both the batched-einsum transposes and any swapaxes copies —
+    the -2 axis is handled by multiplying from the left.
+    """
+    assert axis in (-1, -2)
+    length = x.shape[axis]
+    r, nb, shared, fixups = _block_banded_shared(length, winsize, block)
+    prec = _agg_precision()
+    if nb < 2 * r + 3 or len(fixups) >= nb:
+        # no interior majority: small axis, just use the dense banded matrix
+        D = jnp.asarray(_banded_smooth_matrix(length, winsize))
+        if axis == -1:
+            return jnp.einsum("...w,wk->...k", x, D, precision=prec)
+        return jnp.einsum("jh,...jw->...hw", D, x, precision=prec)
+
+    lp = nb * block
+    if lp != length:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, lp - length)
+        x = jnp.pad(x, pad)
+    # split the target axis into (nb, block)
+    new_shape = x.shape[: x.ndim + axis] + (nb, block) + x.shape[x.ndim + axis + 1 :]
+    xb = x.reshape(new_shape)
+    blk_axis = axis - 1  # block index sits just before the intra-block axis
+
+    y = None
+    for d in range(-r, r + 1):
+        F = jnp.asarray(shared[d + r])
+        xs = _shift_blocks(xb, d, blk_axis)
+        if axis == -1:
+            t = jnp.einsum("...i,io->...o", xs, F, precision=prec)
+        else:
+            t = jnp.einsum("jo,...jw->...ow", F, xs, precision=prec)
+        y = t if y is None else y + t
+
+    # overwrite the boundary blocks with their exact per-block products
+    for n, Fs in fixups:
+        tn = None
+        for d in range(-r, r + 1):
+            src = n + d
+            if src < 0 or src >= nb:
+                continue
+            F = jnp.asarray(Fs[d + r])
+            if axis == -1:
+                xsrc = xb[..., src, :]
+                td = jnp.einsum("...i,io->...o", xsrc, F, precision=prec)
+            else:
+                xsrc = jax.lax.index_in_dim(xb, src, axis=blk_axis, keepdims=False)
+                td = jnp.einsum("jo,...jw->...ow", F, xsrc, precision=prec)
+            tn = td if tn is None else tn + td
+        if axis == -1:
+            y = y.at[..., n, :].set(tn)
+        else:
+            idx = [slice(None)] * y.ndim
+            idx[blk_axis] = n
+            y = y.at[tuple(idx)].set(tn)
+
+    flat_shape = y.shape[: y.ndim + blk_axis] + (lp,) + y.shape[y.ndim + axis :][1:]
+    y = y.reshape(flat_shape)
+    if lp != length:
+        y = jax.lax.slice_in_dim(y, 0, length, axis=axis)
+    return y
+
+
 def _smooth5_mxu(s: jax.Array, winsize: int) -> jax.Array:
-    """(5, H, W) channel stack -> Gaussian-window smoothed, via two matmuls."""
-    h, w = s.shape[-2:]
-    bw = jnp.asarray(_banded_smooth_matrix(w, winsize))
-    bh = jnp.asarray(_banded_smooth_matrix(h, winsize))
-    s = jnp.einsum("chw,wk->chk", s, bw, precision=jax.lax.Precision.HIGHEST)
-    s = jnp.einsum("jh,cjw->chw", bh, s, precision=jax.lax.Precision.HIGHEST)
+    """(..., 5, H, W) channel stack -> Gaussian-window smoothed, via
+    block-banded MXU matmuls along each axis (no transposes)."""
+    s = _block_smooth_axis(s, winsize, -1)
+    s = _block_smooth_axis(s, winsize, -2)
     return s
 
 
-def _update_flow_gaussian(M: jax.Array, winsize: int) -> jax.Array:
-    s = _smooth5_mxu(jnp.moveaxis(M, -1, 0), winsize)
-    g11, g12, g22, h1, h2 = s[0], s[1], s[2], s[3], s[4]
+_PALLAS_AGG_OK: bool | None = None
+
+
+def _pallas_agg_available(winsize: int) -> bool:
+    """Static gate for the Mosaic banded-aggregation kernels."""
+    if winsize // 2 > 128 or jax.default_backend() not in ("tpu", "axon"):
+        return False
+    global _PALLAS_AGG_OK
+    if _PALLAS_AGG_OK is None:
+        _PALLAS_AGG_OK = _pallas_agg_self_test()
+    return _PALLAS_AGG_OK
+
+
+def _pallas_agg_self_test() -> bool:
+    """Compile-and-compare on well-conditioned (real-pipeline) matrices."""
+    try:
+        from microaligner_tpu.ops.pallas_agg import pallas_smooth5_solve
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((70, 100)) * 255, jnp.float32)
+        mov = jnp.roll(img, 2, axis=1)
+        r0 = _poly_exp_cf(_pre_smooth(mov), 1, 1.7)
+        r1 = _poly_exp_cf(_pre_smooth(img), 1, 1.7)
+        M = _update_matrices_zero_flow_cf(r0, r1)[None]
+        fx, fy = jax.jit(lambda m: pallas_smooth5_solve(m, 31))(M)
+        rx, ry = _update_flow_gaussian_xla(M, 31)
+        return bool(
+            np.allclose(np.asarray(fx), np.asarray(rx), atol=1e-4)
+            and np.allclose(np.asarray(fy), np.asarray(ry), atol=1e-4)
+        )
+    except Exception:
+        return False
+
+
+def _update_flow_gaussian_xla(M: jax.Array, winsize: int):
+    """XLA aggregation + solve (CPU path / Mosaic cross-check)."""
+    s = _smooth5_mxu(M, winsize)
+    g11, g12, g22, h1, h2 = (s[..., i, :, :] for i in range(5))
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     flow_x = (g11 * h2 - g12 * h1) * idet
     flow_y = (g22 * h1 - g12 * h2) * idet
-    return jnp.stack([flow_x, flow_y], axis=-1)
+    return flow_x, flow_y
+
+
+def _update_flow_gaussian_cf(M: jax.Array, winsize: int):
+    """(..., 5, H, W) normal equations -> (flow_x, flow_y), each (..., H, W).
+
+    Flow channels stay separate arrays: stacking them adds a trailing dim of 2
+    that XLA pads to a full (8, 128) tile — a 64x memory blowup at 20k scale.
+    Uses the fused Mosaic aggregation+solve kernels on TPU (one HBM pass per
+    stage); falls back to block-banded MXU matmuls elsewhere.
+    """
+    if M.ndim == 4 and _pallas_agg_available(winsize):
+        from microaligner_tpu.ops.pallas_agg import pallas_smooth5_solve
+
+        return pallas_smooth5_solve(M, winsize)
+    return _update_flow_gaussian_xla(M, winsize)
 
 
 _PRESMOOTH = np.array([0.25, 0.5, 0.25], dtype=np.float32)
@@ -296,14 +573,6 @@ def _pre_smooth(img: jax.Array) -> jax.Array:
     return sep_filter2d(img.astype(jnp.float32), k, k)
 
 
-def _update_matrices_batched(R0, R1, flow):
-    samp, inb, _, _ = _bilinear_sample_r_batched(R1, flow)
-    h, w = flow.shape[1:3]
-    return jax.vmap(
-        lambda r0, r1, f, s, i: _combine_matrices(r0, r1, f[..., 0], f[..., 1], s, i, h, w)
-    )(R0, R1, flow, samp, inb)
-
-
 def _farneback_core_batched(
     movs: jax.Array,
     refs: jax.Array,
@@ -317,16 +586,18 @@ def _farneback_core_batched(
     Keeps the banded/gather branch decision at batch level so vmapping never
     duplicates work.
     """
-    pe = jax.vmap(lambda x: poly_exp(_pre_smooth(x), poly_n, poly_sigma))
+    if num_iter < 1:
+        raise ValueError(f"farneback requires num_iter >= 1, got {num_iter}")
+    pe = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), poly_n, poly_sigma))
     r0 = pe(movs)
     r1 = pe(refs)
-    m = jax.vmap(_update_matrices_zero_flow)(r0, r1)
-    flow = None
+    m = jax.vmap(_update_matrices_zero_flow_cf)(r0, r1)
+    fx = fy = None
     for i in range(num_iter):
-        flow = jax.vmap(lambda mm: _update_flow_gaussian(mm, win_size))(m)
+        fx, fy = _update_flow_gaussian_cf(m, win_size)
         if i < num_iter - 1:
-            m = _update_matrices_batched(r0, r1, flow)
-    return flow
+            m = _update_matrices_batched_cf(r0, r1, fx, fy)
+    return jnp.stack([fx, fy], axis=-1)
 
 
 def _farneback_core(

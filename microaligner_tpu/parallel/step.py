@@ -32,9 +32,16 @@ __all__ = ["make_sharded_register_step"]
 _AXIS = "tiles"
 
 
-def make_sharded_register_step(mesh: Mesh, grid: TileGrid, win_size: int, num_iter: int):
+def make_sharded_register_step(
+    mesh: Mesh, grid: TileGrid, win_size: int, num_iter: int, with_hist: bool = True
+):
     """Build a jitted step: (ref (H,W) f32, mov (H,W) f32) ->
-    (warped (H,W) f32, flow (H,W,2) f32, joint_hist (256,256) f32)."""
+    (warped (H,W) f32, flow (H,W,2) f32[, joint_hist (256,256) f32]).
+
+    ``with_hist=False`` skips the NMI joint histogram — benchmarks comparing
+    against the reference's flow+remap compute must not bill the TPU for a
+    scoring stage the baseline doesn't run.
+    """
     n_dev = int(np.prod(mesh.devices.shape))
     num_tiles = grid.num_tiles
     pad_tiles = (-num_tiles) % n_dev
@@ -43,6 +50,8 @@ def make_sharded_register_step(mesh: Mesh, grid: TileGrid, win_size: int, num_it
         # ref_tiles: (n_local, T, T) on this device
         flow = _farneback_core_batched(mov_tiles, ref_tiles, win_size, num_iter, 1, 1.7)
         warped = warp_with_flow_batched(mov_tiles, flow)
+        if not with_hist:
+            return warped, flow
         # NMI joint histogram of tile interiors, reduced across the mesh
         o = grid.overlap
         wi = warped[:, o : o + grid.tile_h, o : o + grid.tile_w]
@@ -53,11 +62,12 @@ def make_sharded_register_step(mesh: Mesh, grid: TileGrid, win_size: int, num_it
         hist = jax.lax.psum(hist, _AXIS)
         return warped, flow, hist
 
+    out_specs = (P(_AXIS), P(_AXIS), P()) if with_hist else (P(_AXIS), P(_AXIS))
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(_AXIS), P(_AXIS)),
-        out_specs=(P(_AXIS), P(_AXIS), P()),
+        out_specs=out_specs,
         # the scan carry in the histogram mixes replicated-init with
         # shard-varying values; that is intentional (psum follows)
         check_vma=False,
@@ -75,9 +85,11 @@ def make_sharded_register_step(mesh: Mesh, grid: TileGrid, win_size: int, num_it
             mov_tiles = jnp.concatenate([mov_tiles, z])
         ref_tiles = jax.lax.with_sharding_constraint(ref_tiles, tile_sharding)
         mov_tiles = jax.lax.with_sharding_constraint(mov_tiles, tile_sharding)
-        warped_tiles, flow_tiles, hist = sharded(ref_tiles, mov_tiles)
-        warped = stitch_tiles(warped_tiles[:num_tiles], grid)
-        flow = stitch_tiles(flow_tiles[:num_tiles], grid)
-        return warped, flow, hist
+        out = sharded(ref_tiles, mov_tiles)
+        warped = stitch_tiles(out[0][:num_tiles], grid)
+        flow = stitch_tiles(out[1][:num_tiles], grid)
+        if with_hist:
+            return warped, flow, out[2]
+        return warped, flow
 
     return step

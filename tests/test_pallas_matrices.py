@@ -1,0 +1,57 @@
+"""Fused Mosaic matrix-update kernel vs the XLA reference path.
+
+Runs in Pallas interpret mode (tests are on CPU); on real TPU hardware the
+compiled kernel is additionally cross-checked by the lazy self-test gate in
+optflow/farneback.py::_pallas_matrices_self_test.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
+from microaligner_tpu.optflow.farneback import _update_matrices_banded_xla
+
+
+def _mk(rng, n, h, w, flow_scale):
+    R0 = jnp.asarray(rng.standard_normal((n, 5, h, w)), jnp.float32)
+    R1 = jnp.asarray(rng.standard_normal((n, 5, h, w)), jnp.float32)
+    fx = jnp.asarray((rng.random((n, h, w)) - 0.5) * flow_scale, jnp.float32)
+    fy = jnp.asarray((rng.random((n, h, w)) - 0.5) * flow_scale, jnp.float32)
+    return R0, R1, fx, fy
+
+
+def test_matches_xla_path(rng):
+    R0, R1, fx, fy = _mk(rng, 2, 64, 96, 6.0)
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    got = np.asarray(
+        pallas_update_matrices(
+            R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4, interpret=True
+        )
+    )
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_row_block_remainder(rng):
+    # H=50 exercises the hpad path (50 % 32 != 0)
+    R0, R1, fx, fy = _mk(rng, 1, 50, 40, 4.0)
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    got = np.asarray(
+        pallas_update_matrices(
+            R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4, interpret=True
+        )
+    )
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_small_height_rejected():
+    import pytest
+
+    R0 = jnp.zeros((1, 5, 8, 32), jnp.float32)
+    zi = jnp.zeros((1, 8, 32), jnp.int32)
+    zf = jnp.zeros((1, 8, 32), jnp.float32)
+    with pytest.raises(ValueError):
+        pallas_update_matrices(R0, R0, zi, zi, zf, zf, band=4, interpret=True)

@@ -55,7 +55,14 @@ class TestShardedRegisterStep:
         w8, f8, h8 = step8(ref, mov)
         w1, f1, h1 = step1(ref, mov)
         np.testing.assert_allclose(np.asarray(f8), np.asarray(f1), atol=1e-4)
-        np.testing.assert_allclose(np.asarray(h8), np.asarray(h1), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(w8), np.asarray(w1), atol=1e-2)
+        # histograms bin clipped float warps to integers: a ~1e-6 flow rounding
+        # difference between device layouts can move a pixel across a bin edge,
+        # so require equal totals and only a few boundary-crossing counts
+        h8 = np.asarray(h8)
+        h1 = np.asarray(h1)
+        assert h8.sum() == h1.sum()
+        assert np.abs(h8 - h1).sum() <= 8
 
 
 class TestGraftEntry:
