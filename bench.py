@@ -48,7 +48,11 @@ def bench_tpu(ref, mov, tile_size, overlap, win_size, num_iter, repeats=3):
 
     grid = TileGrid.for_image(ref.shape, tile_size, overlap)
     mesh = get_tile_mesh()
-    step = make_sharded_register_step(mesh, grid, win_size=win_size, num_iter=num_iter)
+    # with_hist=False: the CPU baseline computes flow + remap only, so the
+    # TPU side must not be billed for an NMI scoring stage
+    step = make_sharded_register_step(
+        mesh, grid, win_size=win_size, num_iter=num_iter, with_hist=False
+    )
     refj = jnp.asarray(ref, jnp.float32)
     movj = jnp.asarray(mov, jnp.float32)
 
@@ -56,7 +60,7 @@ def bench_tpu(ref, mov, tile_size, overlap, win_size, num_iter, repeats=3):
         out = step(refj, movj)
         # block_until_ready does not reliably block over the axon tunnel;
         # a scalar device->host fetch drains the execution queue for real.
-        return float(jnp.sum(out[2]))
+        return float(jnp.sum(out[0]))
 
     run_once()  # compile
     run_once()  # settle
@@ -99,8 +103,7 @@ def bench_cpu(ref, mov, tile_size, overlap, win_size, num_iter):
         nf[..., 1] += np.arange(hh).reshape(-1, 1)
         cv.remap(mov_t[i].astype(np.float32), nf, None, cv.INTER_LINEAR)
     serial = time.perf_counter() - t0
-    ncores = os.cpu_count() or 1
-    return serial / ncores, ncores
+    return serial
 
 
 def main():
@@ -113,20 +116,23 @@ def main():
     mpix = size * size / 1e6
 
     tpu_t = bench_tpu(ref, mov, tile_size, overlap, win_size, num_iter)
-    cpu_t, ncores = bench_cpu(ref, mov, tile_size, overlap, win_size, num_iter)
+    serial_t = bench_cpu(ref, mov, tile_size, overlap, win_size, num_iter)
 
     tpu_mpix_s = mpix / tpu_t
-    cpu_mpix_s = mpix / cpu_t
+    # BASELINE.md convention: the comparator is the reference on a 32-core
+    # host with PERFECT scaling credited (serial/32); the target is >= 10x it.
+    cpu32_t = serial_t / 32.0
     result = {
         "metric": "optflow_register_warp_throughput",
         "value": round(tpu_mpix_s, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(tpu_mpix_s / cpu_mpix_s, 2),
+        "vs_baseline": round(cpu32_t / tpu_t, 2),
         "detail": {
             "image": f"{size}x{size}",
             "tpu_s": round(tpu_t, 3),
-            "cpu_s_percore_scaled": round(cpu_t, 3),
-            "cpu_cores_assumed_perfect_scaling": ncores,
+            "cpu_serial_s": round(serial_t, 3),
+            "baseline": "cv2 Farneback+remap per tile, serial/32 (perfect 32-core scaling credited)",
+            "vs_one_core": round(serial_t / tpu_t, 2),
         },
     }
     print(json.dumps(result))

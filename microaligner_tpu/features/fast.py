@@ -98,13 +98,22 @@ def fast_detect_topk(img: jax.Array, k: int, threshold: int = 1):
     h, w = img.shape
     s = fast_score_map(img, threshold=threshold).reshape(-1)
     n = h * w
-    # composite integer key: score major (<=255), reverse scan index minor
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    key = s * n + (n - 1 - idx)
-    top_keys, top_idx = jax.lax.top_k(key, k)
-    valid = top_keys >= (threshold * n)  # score >= threshold
+    if 256 * n - 1 <= np.iinfo(np.int32).max:
+        # composite integer key: score major (<=255), reverse scan index minor
+        key = s * n + (n - 1 - idx)
+        top_keys, top_idx = jax.lax.top_k(key, k)
+        valid = top_keys >= (threshold * n)  # score >= threshold
+        resp = (top_keys // n).astype(jnp.float32)
+    else:
+        # >= ~8.4 Mpix (TileSize >~ 2900): the composite key overflows int32,
+        # so fall back to a stable sort — ties keep scan order by stability
+        neg, sorted_idx = jax.lax.sort((-s, idx), num_keys=1, is_stable=True)
+        top_s = -jax.lax.slice_in_dim(neg, 0, k, axis=0)
+        top_idx = jax.lax.slice_in_dim(sorted_idx, 0, k, axis=0)
+        valid = top_s >= threshold
+        resp = top_s.astype(jnp.float32)
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
     coords = jnp.stack([xs, ys], axis=-1)
-    resp = (top_keys // n).astype(jnp.float32)
     return coords, resp, valid

@@ -48,7 +48,10 @@ def str_to_xml(xmlstr: str) -> XML:
 
 def xml_to_string(xml: XML) -> str:
     decl = '<?xml version="1.0" encoding="UTF-8"?>'
-    return decl + ET.tostring(xml, method="xml", encoding="utf-8").decode("ascii", errors="ignore")
+    # decode as UTF-8: the reference decodes ascii/errors=ignore
+    # (ome_meta_processing.py:284), which silently strips non-ASCII — e.g.
+    # PhysicalSizeXUnit "µm" became "m", a 1e9 unit corruption in passthrough
+    return decl + ET.tostring(xml, method="xml", encoding="utf-8").decode("utf-8")
 
 
 def read_ome_meta_from_file(path) -> XML:

@@ -306,6 +306,10 @@ class TiffFile:
             arr = arr.reshape(rows, cols, spp)
         if page.predictor == 2:
             arr = _codec.undo_horizontal_predictor(arr)
+        elif page.predictor != 1:
+            # e.g. 3 = floating-point differencing: decoding without undoing
+            # it would silently produce garbage pixels
+            raise ValueError(f"unsupported TIFF predictor {page.predictor}")
         return arr
 
     def read_page(self, index: int) -> np.ndarray:

@@ -102,31 +102,38 @@ def _kernel_batched(band, row_block, img_a_ref, img_b_ref, dxi_ref, dyi_ref, tx_
 
 
 def _self_test() -> bool:
-    """Compile-and-compare smoke test on the current default backend."""
-    try:
-        rng = np.random.default_rng(0)
-        img = jnp.asarray(rng.random((2, 256, 256)), jnp.float32)
-        flow = (rng.random((2, 256, 256, 2)) - 0.5) * 4
-        fx = jnp.asarray(flow[..., 0], jnp.float32)
-        fy = jnp.asarray(flow[..., 1], jnp.float32)
-        x1 = jnp.floor(fx)
-        y1 = jnp.floor(fy)
-        out = pallas_sample_displaced(
-            img, x1.astype(jnp.int32), y1.astype(jnp.int32), fx - x1, fy - y1, band=4
-        )
-        out = np.asarray(out)
-        # compare against the XLA banded path directly (NOT the public
-        # dispatcher, which consults pallas_available -> would recurse)
-        from microaligner_tpu.ops.warp import _sample_banded_one
+    """Compile-and-compare smoke test on the current default backend.
 
-        ref = np.asarray(
-            jax.jit(
-                jax.vmap(lambda i, f: _sample_banded_one(i, f, 4))
-            )(img[..., None], jnp.asarray(flow, jnp.float32))
-        )[..., 0]
-        return bool(np.allclose(out, ref, atol=1e-5))
-    except Exception:
-        return False
+    Runs on a fresh thread: the gate fires lazily, often inside an outer jit
+    trace, and trace state is thread-local (utils/selftest.py).
+    """
+    from microaligner_tpu.utils.selftest import run_outside_trace
+
+    return run_outside_trace(_self_test_body)
+
+
+def _self_test_body() -> bool:
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 256, 256)), jnp.float32)
+    flow = (rng.random((2, 256, 256, 2)) - 0.5) * 4
+    fx = jnp.asarray(flow[..., 0], jnp.float32)
+    fy = jnp.asarray(flow[..., 1], jnp.float32)
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    out = pallas_sample_displaced(
+        img, x1.astype(jnp.int32), y1.astype(jnp.int32), fx - x1, fy - y1, band=4
+    )
+    out = np.asarray(out)
+    # compare against the XLA banded path directly (NOT the public
+    # dispatcher, which consults pallas_available -> would recurse)
+    from microaligner_tpu.ops.warp import _sample_banded_one
+
+    ref = np.asarray(
+        jax.jit(
+            jax.vmap(lambda i, f: _sample_banded_one(i, f, 4))
+        )(img[..., None], jnp.asarray(flow, jnp.float32))
+    )[..., 0]
+    return bool(np.allclose(out, ref, atol=1e-5))
 
 
 PALLAS_OK: bool | None = None  # resolved lazily by pallas_available()

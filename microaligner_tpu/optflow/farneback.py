@@ -213,24 +213,31 @@ def _pallas_matrices_available(h: int, band: int) -> bool:
 
 
 def _pallas_matrices_self_test() -> bool:
-    """Compile-and-compare the Mosaic kernel against the XLA path here."""
-    try:
-        from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
+    """Compile-and-compare the Mosaic kernel against the XLA path here.
 
-        rng = np.random.default_rng(0)
-        R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
-        R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
-        fx = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
-        fy = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
-        dxi = jnp.floor(fx).astype(jnp.int32)
-        dyi = jnp.floor(fy).astype(jnp.int32)
-        got = np.asarray(
-            pallas_update_matrices(R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4)
-        )
-        want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
-        return bool(np.allclose(got, want, atol=1e-4))
-    except Exception:
-        return False
+    Runs on a fresh thread: the gate fires lazily, often inside an outer jit
+    trace, and trace state is thread-local (utils/selftest.py).
+    """
+    from microaligner_tpu.utils.selftest import run_outside_trace
+
+    return run_outside_trace(_pallas_matrices_self_test_body)
+
+
+def _pallas_matrices_self_test_body() -> bool:
+    from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
+
+    rng = np.random.default_rng(0)
+    R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
+    R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
+    fx = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
+    fy = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    got = np.asarray(
+        pallas_update_matrices(R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4)
+    )
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    return bool(np.allclose(got, want, atol=1e-4))
 
 
 def _update_matrices_banded_xla(R0, R1, fx, fy, band):
@@ -513,24 +520,31 @@ def _pallas_agg_available(winsize: int) -> bool:
 
 
 def _pallas_agg_self_test() -> bool:
-    """Compile-and-compare on well-conditioned (real-pipeline) matrices."""
-    try:
-        from microaligner_tpu.ops.pallas_agg import pallas_smooth5_solve
+    """Compile-and-compare on well-conditioned (real-pipeline) matrices.
 
-        rng = np.random.default_rng(0)
-        img = jnp.asarray(rng.random((70, 100)) * 255, jnp.float32)
-        mov = jnp.roll(img, 2, axis=1)
-        r0 = _poly_exp_cf(_pre_smooth(mov), 1, 1.7)
-        r1 = _poly_exp_cf(_pre_smooth(img), 1, 1.7)
-        M = _update_matrices_zero_flow_cf(r0, r1)[None]
-        fx, fy = jax.jit(lambda m: pallas_smooth5_solve(m, 31))(M)
-        rx, ry = _update_flow_gaussian_xla(M, 31)
-        return bool(
-            np.allclose(np.asarray(fx), np.asarray(rx), atol=1e-4)
-            and np.allclose(np.asarray(fy), np.asarray(ry), atol=1e-4)
-        )
-    except Exception:
-        return False
+    Runs on a fresh thread: the gate fires lazily, often inside an outer jit
+    trace, and trace state is thread-local (utils/selftest.py).
+    """
+    from microaligner_tpu.utils.selftest import run_outside_trace
+
+    return run_outside_trace(_pallas_agg_self_test_body)
+
+
+def _pallas_agg_self_test_body() -> bool:
+    from microaligner_tpu.ops.pallas_agg import pallas_smooth5_solve
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((70, 100)) * 255, jnp.float32)
+    mov = jnp.roll(img, 2, axis=1)
+    r0 = _poly_exp_cf(_pre_smooth(mov), 1, 1.7)
+    r1 = _poly_exp_cf(_pre_smooth(img), 1, 1.7)
+    M = _update_matrices_zero_flow_cf(r0, r1)[None]
+    fx, fy = jax.jit(lambda m: pallas_smooth5_solve(m, 31))(M)
+    rx, ry = _update_flow_gaussian_xla(M, 31)
+    return bool(
+        np.allclose(np.asarray(fx), np.asarray(rx), atol=1e-4)
+        and np.allclose(np.asarray(fy), np.asarray(ry), atol=1e-4)
+    )
 
 
 def _update_flow_gaussian_xla(M: jax.Array, winsize: int):

@@ -29,23 +29,23 @@ def read_yaml(path) -> dict:
 def check_field_dtype(field_name: str, dtype, obj: dict):
     dtypes = dtype if isinstance(dtype, tuple) else (dtype,)
     if field_name not in obj:
-        raise KeyError(f"Field {field_name} is absent")
+        raise KeyError(f"config is missing required field '{field_name}'")
     if not any(isinstance(obj[field_name], d) for d in dtypes):
         raise TypeError(
-            f"Field {field_name} has wrong data type {type(obj[field_name])},"
-            f" expected {list(dtypes)}"
+            f"config field '{field_name}': got {type(obj[field_name]).__name__}, "
+            f"expected one of {[d.__name__ for d in dtypes]}"
         )
 
 
 def check_field_min_max(field_name: str, _min: Optional[FloatInt], _max: Optional[FloatInt], obj: dict):
     if field_name not in obj:
-        raise KeyError(f"Field {field_name} is absent")
+        raise KeyError(f"config is missing required field '{field_name}'")
     val = obj[field_name]
     if isinstance(val, (int, float)):
         if _min is not None and val < _min:
-            raise ValueError(f"Field {field_name} value is smaller than minimum: {_min}")
+            raise ValueError(f"config field '{field_name}'={val} is below the minimum of {_min}")
         if _max is not None and val > _max:
-            raise ValueError(f"Field {field_name} value is greater than maximum: {_max}")
+            raise ValueError(f"config field '{field_name}'={val} is above the maximum of {_max}")
 
 
 class RegParam:
@@ -127,7 +127,7 @@ class PipelineConfigReader:
         missing = [f for f in ("Input", "Output", "RegistrationParameters") if f not in config]
         if missing:
             raise ValueError(
-                "Incorrectly formatted config file. These fields are absent: " + str(missing)
+                f"config file lacks required top-level sections: {missing}"
             )
         pc = PipelineConfig()
         self._parse_input(config["Input"], pc.Input)
@@ -137,7 +137,7 @@ class PipelineConfigReader:
 
     def _parse_input(self, input_dict: dict, out: PipelineInput):
         if not isinstance(input_dict, dict):
-            raise ValueError("Input field is incorrect")
+            raise ValueError("the Input section must be a mapping")
         check_field_dtype("InputImagePaths", (dict, list), input_dict)
         check_field_dtype("ReferenceCycle", int, input_dict)
         check_field_dtype("ReferenceChannel", str, input_dict)
@@ -157,18 +157,18 @@ class PipelineConfigReader:
         if path_dict_type == "CycleBuilder":
             for cyc_name, chans in path_dict.items():
                 if not cyc_pat.match(cyc_name):
-                    raise ValueError("Cycle names in config file should follow pattern Cycle N")
+                    raise ValueError(f"bad cycle key {cyc_name!r}: expected the form 'Cycle <number>'")
                 cyc_id = int(re.search(r"(\d+)", cyc_name).groups()[0])
                 ch_list = list(chans.keys())
                 if len(ch_list) > len(set(ch_list)):
-                    raise ValueError(f"Channel names are repeated in the Cycle {cyc_id}: {ch_list}")
+                    raise ValueError(f"duplicate channel names under Cycle {cyc_id}: {ch_list}")
                 proc[cyc_id] = {ch: Path(p) for ch, p in chans.items()}
         elif path_dict_type == "CycleStack":
             proc[0] = Path(path_dict["CycleStack"])
         else:
             for cyc_name, p in path_dict.items():
                 if not cyc_pat.match(cyc_name):
-                    raise ValueError("Cycle names in config file should follow pattern Cycle N")
+                    raise ValueError(f"bad cycle key {cyc_name!r}: expected the form 'Cycle <number>'")
                 cyc_id = int(re.search(r"(\d+)", cyc_name).groups()[0])
                 proc[cyc_id] = Path(p)
         return proc
@@ -184,9 +184,7 @@ class PipelineConfigReader:
     def _parse_reg_param(self, reg_dict: dict, out: PipelineRegParam):
         if "FeatureReg" not in reg_dict and "OptFlowReg" not in reg_dict:
             raise ValueError(
-                "Parameters for the registration methods are absent. "
-                "At least one of the registration methods: "
-                "FeatureReg or OptFlowReg must be present."
+                "RegistrationParameters must define FeatureReg, OptFlowReg, or both"
             )
         if "FeatureReg" in reg_dict:
             check_field_dtype("FeatureReg", dict, reg_dict)
@@ -203,19 +201,19 @@ class PipelineConfigReader:
     def get_path_dict_type(path_dict: dict) -> str:
         if "CycleStack" in path_dict:
             if len(path_dict) > 1:
-                raise ValueError("When input is CycleStack you can specify at most 1 image path")
+                raise ValueError("a CycleStack input is a single stack file; remove the extra paths")
             return "CycleStack"
         num_dict = sum(isinstance(v, dict) for v in path_dict.values())
         num_str = sum(isinstance(v, str) for v in path_dict.values())
         if num_dict > 0 and num_str > 0:
-            raise NotImplementedError("Mixed input is not yet supported")
+            raise NotImplementedError("InputImagePaths mixes per-channel and per-cycle entries; pick one layout")
         if num_dict == 0 and num_str == 0:
             raise ValueError(
-                "Cannot recognize type of InputImagePaths."
-                "Please check your config file against the reference."
+                "InputImagePaths matches none of the known layouts "
+                "(CycleStack / CycleBuilder / CyclePerImage)"
             )
         if num_dict < 2 and num_str < 2:
             raise ValueError(
-                "Not enough cycles for registration. Please provide at least two cycles"
+                "registration needs at least two cycles in InputImagePaths"
             )
         return "CycleBuilder" if num_dict > 0 else "CyclePerImage"

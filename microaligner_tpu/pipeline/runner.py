@@ -212,7 +212,7 @@ def transform_and_save_freg_imgs(
 
         def planes():
             for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
-                out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
+                out_ch = sum(nch_per_cyc[:cyc_id]) + ch_id if save_to_stack else ch_id  # cumulative: correct for heterogeneous per-cycle channel counts (the reference assumes cycle 0's count, __main__.py:199,412)
                 pages = struct.tiff_pages[cyc][ch]
                 paths = struct.img_paths[cyc][ch]
                 for z_id, z in enumerate(paths):
@@ -336,7 +336,7 @@ def register_and_save_ofreg_imgs(
             log("Skipping as it is a reference image")
             ref_img = read_and_max_project_pages(paths, pages)
             for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
-                out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
+                out_ch = sum(nch_per_cyc[:cyc_id]) + ch_id if save_to_stack else ch_id  # cumulative: correct for heterogeneous per-cycle channel counts (the reference assumes cycle 0's count, __main__.py:199,412)
                 for z_id, z in enumerate(struct.img_paths[cyc][ch]):
                     mm[0, out_ch, z_id] = read_tiff_page(
                         struct.img_paths[cyc][ch][z], struct.tiff_pages[cyc][ch][z]
@@ -359,7 +359,7 @@ def register_and_save_ofreg_imgs(
 
             def planes():
                 for ch_id, ch in enumerate(struct.tiff_pages[cyc]):
-                    out_ch = cyc_id * nch_per_cyc[0] + ch_id if save_to_stack else ch_id
+                    out_ch = sum(nch_per_cyc[:cyc_id]) + ch_id if save_to_stack else ch_id  # cumulative: correct for heterogeneous per-cycle channel counts (the reference assumes cycle 0's count, __main__.py:199,412)
                     for z_id, z in enumerate(struct.img_paths[cyc][ch]):
                         yield (out_ch, z_id), read_tiff_page(
                             struct.img_paths[cyc][ch][z], struct.tiff_pages[cyc][ch][z]

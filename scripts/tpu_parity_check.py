@@ -1,0 +1,92 @@
+"""On-hardware parity check: fused TPU register step vs OpenCV.
+
+The CPU test suite runs f32 XLA everywhere, so it cannot see TPU-only
+behavior: MXU bf16-pass precision (HIGH vs HIGHEST) and the Mosaic kernels.
+This script runs the bench-shaped tiled Farneback register step on the real
+TPU and compares flow and warped output against cv2.calcOpticalFlowFarneback
++ cv2.remap per tile (the reference compute at optflow_reg/flow_calc.py and
+warper.py), using the same bars as tests/test_farneback.py: flow mean abs
+diff < 1e-3 px, max < 0.05 px; warped-plane MSE < 1e-3 (BASELINE.md target).
+
+Run:  python scripts/tpu_parity_check.py [size]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/microaligner_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    import cv2 as cv
+    import jax
+    import jax.numpy as jnp
+
+    from microaligner_tpu.parallel.mesh import get_tile_mesh
+    from microaligner_tpu.parallel.step import make_sharded_register_step
+    from microaligner_tpu.tiles import TileGrid, split_into_tiles
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    tile_size, overlap = 1000, 100
+    win_size = overlap - (1 - overlap % 2)
+    num_iter = 3
+
+    rng = np.random.default_rng(0)
+    base = cv.GaussianBlur(rng.random((size, size), dtype=np.float32), (0, 0), 3.0)
+    base = cv.normalize(base, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    mov = cv.remap(base, xs + 2.0 * np.sin(ys / 50), ys + 1.5 * np.cos(xs / 45), cv.INTER_LINEAR)
+
+    grid = TileGrid.for_image(base.shape, tile_size, overlap)
+    step = make_sharded_register_step(
+        get_tile_mesh(jax.devices()[:1]), grid, win_size=win_size, num_iter=num_iter, with_hist=False
+    )
+    warped_t, flow_t = step(jnp.asarray(base, jnp.float32), jnp.asarray(mov, jnp.float32))
+    flow_t = np.asarray(flow_t)
+    warped_t = np.asarray(warped_t)
+
+    # reference: cv2 per halo tile, stitched the same way
+    ref_tiles = np.asarray(split_into_tiles(jnp.asarray(base, jnp.float32), grid))
+    mov_tiles = np.asarray(split_into_tiles(jnp.asarray(mov, jnp.float32), grid))
+    o = grid.overlap
+    flow_cv = np.zeros((size, size, 2), np.float32)
+    warp_cv = np.zeros((size, size), np.float32)
+    for i in range(ref_tiles.shape[0]):
+        f = cv.calcOpticalFlowFarneback(
+            mov_tiles[i].astype(np.uint8), ref_tiles[i].astype(np.uint8), None,
+            0.5, 0, win_size, num_iter, 1, 1.7, cv.OPTFLOW_FARNEBACK_GAUSSIAN,
+        )
+        hh, ww = f.shape[:2]
+        nf = -f.copy()
+        nf[..., 0] += np.arange(ww)
+        nf[..., 1] += np.arange(hh).reshape(-1, 1)
+        w = cv.remap(mov_tiles[i], nf, None, cv.INTER_LINEAR)
+        r, c = divmod(i, grid.nx)
+        y0, x0 = r * grid.tile_h, c * grid.tile_w
+        th = min(grid.tile_h, size - y0)
+        tw = min(grid.tile_w, size - x0)
+        flow_cv[y0 : y0 + th, x0 : x0 + tw] = f[o : o + th, o : o + tw]
+        warp_cv[y0 : y0 + th, x0 : x0 + tw] = w[o : o + th, o : o + tw]
+
+    fd = np.abs(flow_t - flow_cv)
+    # cv2's remap quantizes coords to 1/32 px; exclude a 1-px frame per tile
+    # edge where the quantized stencil can differ
+    mean_fd = fd.mean()
+    max_fd = fd.max()
+    wm = (warped_t.astype(np.float64) - warp_cv) ** 2
+    mse = wm.mean() / (255.0**2)  # normalized to unit range like BASELINE.md
+    print(f"flow abs diff: mean {mean_fd:.2e} px, max {max_fd:.3f} px")
+    print(f"warped MSE (unit range): {mse:.2e}")
+    ok = mean_fd < 1e-3 and max_fd < 0.05 and mse < 1e-3
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,11 +2,12 @@
 and the full FeatureRegistrator on synthetic transforms."""
 
 import cv2 as cv
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from microaligner_tpu.features import FeatureRegistrator, find_features, match_features
-from microaligner_tpu.features.fast import fast_score_map
+from microaligner_tpu.features.fast import fast_score_map, fast_detect_topk
 from microaligner_tpu.features.daisy import daisy_at_points, DAISY_DIM
 from microaligner_tpu.features.ransac import estimate_affine_partial_2d
 
@@ -133,3 +134,93 @@ class TestEndToEnd:
         assert reg._check_if_inside_borders(np.eye(2, 3), (100, 100))
         big_shift = np.array([[1.0, 0, 500.0], [0, 1.0, 0]])
         assert not reg._check_if_inside_borders(big_shift, (100, 100))
+
+
+def test_fast_topk_large_tile_no_overflow():
+    """TileSize >~2900 overflows the int32 composite key; the stable-sort
+    fallback must return the same corners (regression for fast.py top-k)."""
+    h = w = 2920  # h*w = 8.53M > 2^31 / 256
+    img = np.zeros((h, w), np.uint8)
+    rng = np.random.default_rng(3)
+    pts = rng.integers(10, h - 10, size=(30, 2))
+    for y, x in pts:
+        img[y, x] = 255  # isolated bright dots = strong FAST corners
+    coords, resp, valid = fast_detect_topk(jnp.asarray(img), k=40)
+    coords = np.asarray(coords)[np.asarray(valid)]
+    got = {(int(x), int(y)) for x, y in coords}
+    want = {(int(x), int(y)) for y, x in pts}
+    # every isolated dot must be found, none hallucinated
+    assert want <= got
+    cv_kp = cv.FastFeatureDetector.create(
+        threshold=1, nonmaxSuppression=True, type=cv.FAST_FEATURE_DETECTOR_TYPE_9_16
+    ).detect(img)
+    cv_pts = {(int(p.pt[0]), int(p.pt[1])) for p in cv_kp}
+    assert got <= cv_pts
+
+
+class TestHardTransforms:
+    """Combined rotation+scale+noise+intensity rescale on realistic texture:
+    DAISY/knn/RANSAC must recover the ground-truth similarity and agree with
+    cv.estimateAffinePartial2D on the same matched point set
+    (reference compute: feature_detection.py:121-158)."""
+
+    @pytest.mark.parametrize("angle,scale,seed", [(5.0, 1.05, 11), (-5.0, 0.95, 12), (3.0, 1.0, 13)])
+    def test_rotation_scale_noise_intensity(self, angle, scale, seed):
+        rng = np.random.default_rng(seed)
+        # realistic texture: multi-scale blobs, not single-scale blur
+        fine = cv.GaussianBlur(rng.random((460, 480), dtype=np.float32), (0, 0), 1.2)
+        coarse = cv.GaussianBlur(rng.random((460, 480), dtype=np.float32), (0, 0), 6.0)
+        ref = cv.normalize(fine + 2 * coarse, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+
+        fwd = cv.getRotationMatrix2D((240.0, 230.0), angle, scale)
+        fwd[0, 2] += 6.0
+        fwd[1, 2] -= 4.0
+        mov = cv.warpAffine(ref, fwd, (480, 460)).astype(np.float32)
+        # intensity rescale + sensor noise on the moving image
+        mov = np.clip(mov * 0.7 + 20 + rng.normal(0, 3.0, mov.shape), 0, 255).astype(np.uint8)
+
+        fr = find_features(ref, 2000)
+        fm = find_features(mov, 2000)
+        assert fr.is_valid() and fm.is_valid()
+        tmat = match_features(fr, fm)  # maps mov -> ref
+
+        # ground truth inverse of the forward transform
+        inv = cv.invertAffineTransform(fwd)
+        np.testing.assert_allclose(tmat[:2, :2], inv[:2, :2], atol=0.02)
+        # The reference detects FAST on the tile interior but computes DAISY
+        # on the halo tile at interior coords (feature_detection.py:106-108),
+        # so descriptors describe content 51 px up-left of each keypoint.
+        # We replicate that quirk bug-for-bug; under rotation/scale it biases
+        # the fitted translation by (A - I) @ (-51, -51).  Assert against the
+        # quirk-adjusted expectation.
+        expected = inv.copy()
+        expected[:, 2] += (inv[:2, :2] - np.eye(2)) @ np.array([-51.0, -51.0])
+        gy, gx = np.mgrid[0:460:20, 0:480:20].astype(np.float64)
+        pts = np.stack([gx.ravel(), gy.ravel(), np.ones(gx.size)])
+        disp = (tmat @ pts) - (expected @ pts)
+        assert np.abs(disp).mean() < 1.5, f"mean displacement {np.abs(disp).mean():.2f}px"
+
+
+        # parity with OpenCV's estimator on the SAME matched pairs
+        from microaligner_tpu.features.match import match_descriptors
+
+        good, ref_idx = match_descriptors(
+            fr.descriptors, fm.descriptors, fr.valid, fm.valid
+        )
+        good = np.asarray(good)
+        src = np.asarray(fm.coords)[good].astype(np.float32)
+        dst = np.asarray(fr.coords)[np.asarray(ref_idx)][good].astype(np.float32)
+        theirs, _ = cv.estimateAffinePartial2D(
+            src.reshape(-1, 1, 2), dst.reshape(-1, 1, 2), method=cv.RANSAC, confidence=0.99
+        )
+        np.testing.assert_allclose(tmat[:2, :2], theirs[:2, :2], atol=0.02)
+        disp_cv = (tmat @ pts) - (theirs @ pts)
+        assert np.abs(disp_cv).mean() < 2.0, f"vs cv2: {np.abs(disp_cv).mean():.2f}px"
+        # and the estimated warp must agree with the expected warp (intensity
+        # was deliberately rescaled, so MSE against ref is not meaningful)
+        out_est = cv.warpAffine(mov, tmat.astype(np.float32), (480, 460)).astype(float)
+        out_exp = cv.warpAffine(mov, expected.astype(np.float32), (480, 460)).astype(float)
+        inner = (slice(60, -60), slice(60, -60))
+        mse = np.mean((out_est[inner] - out_exp[inner]) ** 2)
+        assert mse < np.var(out_exp[inner]) * 0.05, f"warp mse {mse}"
+
