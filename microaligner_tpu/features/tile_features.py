@@ -7,9 +7,10 @@ interior coords (preserving the reference's consistent sampling-offset quirk,
 feature_detection.py:106-108), keypoints are shifted to global coords, and a
 partial-affine transform is fit on ratio-filtered exact-knn matches.
 
-The dask per-tile pool (feature_detection.py:161-168) becomes a sequential
-``lax.map`` over a static tile axis (one compiled program, bounded memory);
-the per-tile feature budget ``min(1_000_000 // n_tiles, 5000)`` is preserved.
+The dask per-tile pool (feature_detection.py:161-168) becomes a tile axis
+sharded over the worker mesh (bounded ``lax.map`` batches within each device
+— one compiled program, bounded memory); the per-tile feature budget
+``min(1_000_000 // n_tiles, 5000)`` is preserved.
 """
 
 from __future__ import annotations
@@ -55,8 +56,16 @@ class Features:
         return 0 if self.valid is None else int(np.sum(np.asarray(self.valid)))
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "k_per_tile"))
 def _find_features_tiled(img: jax.Array, grid: TileGrid, k_per_tile: int):
+    from microaligner_tpu.parallel.tile_runner import current_tile_mesh
+
+    return _find_features_tiled_jit(img, grid, k_per_tile, current_tile_mesh())
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "k_per_tile", "mesh"))
+def _find_features_tiled_jit(img: jax.Array, grid: TileGrid, k_per_tile: int, mesh):
+    from microaligner_tpu.parallel.tile_runner import tile_map
+
     tiles = split_into_tiles(img, grid)  # (N, ts+102, ts+102)
 
     def per_tile(tile):
@@ -67,7 +76,11 @@ def _find_features_tiled(img: jax.Array, grid: TileGrid, k_per_tile: int):
         desc = daisy_at_points(tile.astype(jnp.float32), coords)
         return coords, desc, valid, resp
 
-    coords, desc, valid, resp = jax.lax.map(per_tile, tiles)
+    # batch=1: one tile's FAST scores + DAISY orientation maps at a time
+    # (a 1102^2 tile expands ~10x in the orientation stack)
+    coords, desc, valid, resp = tile_map(
+        jax.vmap(per_tile), (tiles,), batch=1, mesh=mesh
+    )
 
     # shift tile-local coords to global (tile_registration.py:53-66)
     tids = jnp.arange(grid.num_tiles)
@@ -85,10 +98,15 @@ def _find_features_tiled(img: jax.Array, grid: TileGrid, k_per_tile: int):
 
 
 def find_features(img, tile_size: int) -> Features:
-    """Global feature set of a 2-D image (reference tile_registration.py:78-92)."""
+    """Global feature set of a 2-D image (reference tile_registration.py:78-92).
+
+    The reference's host-side empty-image check (``img.max() == 0`` ->
+    no features) is folded into the detector: FAST finds no corners on a
+    constant image, so ``valid`` comes back all-False and ``is_valid()``
+    yields the same identity-transform downstream path — without paying a
+    device round trip here.
+    """
     img = jnp.asarray(img)
-    if int(jax.device_get(jnp.max(img))) == 0:
-        return Features()
     grid = TileGrid.for_image(img.shape, tile_size, _HALO)
     k = min(1_000_000 // grid.num_tiles, 5000)
     coords, desc, valid, resp = _find_features_tiled(img, grid, k)

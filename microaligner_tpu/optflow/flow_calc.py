@@ -1,9 +1,10 @@
-"""Tiled Farneback flow: vmapped tile axis instead of a dask pool.
+"""Tiled Farneback flow: a mesh-sharded tile axis instead of a dask pool.
 
 Mirrors ``TileFlowCalc`` (optflow_reg/flow_calc.py:50-98): below two tiles the
 flow is computed on the whole image; otherwise both images are split into
-halo-expanded tiles, flow is computed per tile in one batched XLA launch, and
-tile interiors are stitched.
+halo-expanded tiles, flow is computed per tile — the tile axis sharded across
+the worker mesh, memory-bounded batches within each device — and tile
+interiors are stitched.
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from microaligner_tpu.optflow.farneback import farneback, _farneback_core_batched
+from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 
 __all__ = ["TileFlowCalc", "calc_flow_tiled"]
@@ -23,7 +25,6 @@ __all__ = ["TileFlowCalc", "calc_flow_tiled"]
 _TILE_BATCH = 16  # bounds live tile working set (R0/R1 are 5-channel f32)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "win_size", "num_iter"))
 def calc_flow_tiled(
     ref_img: jax.Array,
     mov_img: jax.Array,
@@ -33,42 +34,33 @@ def calc_flow_tiled(
 ) -> jax.Array:
     """(H, W) pair -> (H, W, 2) flow, computed per halo tile and stitched.
 
-    Tiles run in fixed-size batches (lax.map) so HBM holds one batch's
-    polynomial expansions at a time — a 20k x 20k image has 400 halo tiles,
-    whose expansions would otherwise need ~23 GB.  Tiles keep the input dtype
-    (u8 for DoG images) until inside the kernel.
+    The tile axis is sharded over the worker mesh (the reference's dask pool,
+    flow_calc.py:88-98, as devices); within each device tiles run in
+    fixed-size lax.map batches so HBM holds one batch's polynomial expansions
+    at a time — a 20k x 20k image has 400 halo tiles, whose expansions would
+    otherwise need ~23 GB.  Tiles keep the input dtype (u8 for DoG images)
+    until inside the kernel.
     """
+    return _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, current_tile_mesh())
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "win_size", "num_iter", "mesh"))
+def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh):
     ref_tiles = split_into_tiles(ref_img, grid)
     mov_tiles = split_into_tiles(mov_img, grid)
-    n = ref_tiles.shape[0]
-    if n <= _TILE_BATCH:
-        flow_tiles = _farneback_core_batched(
-            mov_tiles.astype(jnp.float32), ref_tiles.astype(jnp.float32),
-            win_size, num_iter, 1, 1.7,
-        )
-        return stitch_tiles(flow_tiles, grid)
-    pad = (-n) % _TILE_BATCH
-    if pad:
-        z = jnp.zeros((pad,) + ref_tiles.shape[1:], ref_tiles.dtype)
-        ref_tiles = jnp.concatenate([ref_tiles, z])
-        mov_tiles = jnp.concatenate([mov_tiles, z])
-    nb = ref_tiles.shape[0] // _TILE_BATCH
-    rt = ref_tiles.reshape((nb, _TILE_BATCH) + ref_tiles.shape[1:])
-    mt = mov_tiles.reshape((nb, _TILE_BATCH) + mov_tiles.shape[1:])
 
-    def one_chunk(mr):
+    def flow_chunk(mt, rt):
         flow = _farneback_core_batched(
-            mr[0].astype(jnp.float32), mr[1].astype(jnp.float32),
+            mt.astype(jnp.float32), rt.astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
         )
-        # return x/y channels separately: a rank-5 stack with a trailing dim
+        # x/y channels travel separately: a rank-5 stack with a trailing dim
         # of 2 can get a T(8,128) layout (64x padding) at 20k scale
         return flow[..., 0], flow[..., 1]
 
-    fx, fy = jax.lax.map(one_chunk, (mt, rt))
-    th, tw = grid.tile_shape
-    fx = fx.reshape(nb * _TILE_BATCH, th, tw)[:n]
-    fy = fy.reshape(nb * _TILE_BATCH, th, tw)[:n]
+    fx, fy = tile_map(
+        flow_chunk, (mov_tiles, ref_tiles), batch=_TILE_BATCH, mesh=mesh
+    )
     return jnp.stack(
         [stitch_tiles(fx, grid), stitch_tiles(fy, grid)], axis=-1
     )

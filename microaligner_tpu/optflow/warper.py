@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from microaligner_tpu.ops.warp import warp_with_flow_batched
+from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 
 __all__ = ["Warper", "warp_tiled"]
@@ -28,9 +29,14 @@ __all__ = ["Warper", "warp_tiled"]
 _TILE_BATCH = 32  # bounds live tile working set for the apply phase
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "out_dtype_name"))
 def _warp_tiled_impl(image: jax.Array, flow: jax.Array, grid: TileGrid, out_dtype_name: str) -> jax.Array:
-    """Tiled warp with bounded batches and minimal live memory:
+    return _warp_tiled_jit(image, flow, grid, out_dtype_name, current_tile_mesh())
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "out_dtype_name", "mesh"))
+def _warp_tiled_jit(image, flow, grid, out_dtype_name, mesh):
+    """Tiled warp, tile axis sharded over the worker mesh, with bounded
+    batches and minimal live memory:
 
     * tiles are split in the image's native dtype (u8/u16 planes stay small),
     * each chunk is cast -> warped -> rounded back inside the map, so only
@@ -48,32 +54,20 @@ def _warp_tiled_impl(image: jax.Array, flow: jax.Array, grid: TileGrid, out_dtyp
 
     img_tiles = split_into_tiles(image, grid)
     flow_tiles = split_into_tiles(flow, grid)
-    n = img_tiles.shape[0]
-    if n <= _TILE_BATCH:
-        warped = finish(warp_with_flow_batched(img_tiles.astype(jnp.float32), flow_tiles))
-        return stitch_tiles(warped, grid)
-    pad = (-n) % _TILE_BATCH
-    if pad:
-        img_tiles = jnp.concatenate(
-            [img_tiles, jnp.zeros((pad,) + img_tiles.shape[1:], img_tiles.dtype)]
-        )
-        flow_tiles = jnp.concatenate(
-            [flow_tiles, jnp.zeros((pad,) + flow_tiles.shape[1:], flow_tiles.dtype)]
-        )
-    nb = img_tiles.shape[0] // _TILE_BATCH
-    th, tw = grid.tile_shape
-    it = img_tiles.reshape((nb, _TILE_BATCH, th, tw))
-    fx = flow_tiles[..., 0].reshape(nb, _TILE_BATCH, th, tw)
-    fy = flow_tiles[..., 1].reshape(nb, _TILE_BATCH, th, tw)
-    warped = jax.lax.map(
-        lambda xf: finish(
+
+    def warp_chunk(it, fxt, fyt):
+        return finish(
             warp_with_flow_batched(
-                xf[0].astype(jnp.float32), jnp.stack([xf[1], xf[2]], axis=-1)
+                it.astype(jnp.float32), jnp.stack([fxt, fyt], axis=-1)
             )
-        ),
-        (it, fx, fy),
+        )
+
+    warped = tile_map(
+        warp_chunk,
+        (img_tiles, flow_tiles[..., 0], flow_tiles[..., 1]),
+        batch=_TILE_BATCH,
+        mesh=mesh,
     )
-    warped = warped.reshape((nb * _TILE_BATCH, th, tw))[:n]
     return stitch_tiles(warped, grid)
 
 
@@ -82,43 +76,32 @@ def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
     return _warp_tiled_impl(image, flow, grid, "float32")
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
 def compose_flows_tiled(flow1: jax.Array, flow2: jax.Array, grid: TileGrid) -> jax.Array:
     """Tile-wise flow composition (merge_two_flows over halo tiles, stitched),
-    in bounded batches (reference optflow_registrator.py:217-233)."""
+    tile axis sharded over the worker mesh, bounded batches within each device
+    (reference optflow_registrator.py:217-233)."""
+    return _compose_flows_tiled_jit(flow1, flow2, grid, current_tile_mesh())
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "mesh"))
+def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
     from microaligner_tpu.ops.warp import compose_flows_batched
 
     f1 = split_into_tiles(flow1, grid)
     f2 = split_into_tiles(flow2, grid)
-    n = f1.shape[0]
-    if n <= _TILE_BATCH:
-        return stitch_tiles(compose_flows_batched(f1, f2), grid)
-    pad = (-n) % _TILE_BATCH
-    if pad:
-        f1 = jnp.concatenate([f1, jnp.zeros((pad,) + f1.shape[1:], f1.dtype)])
-        f2 = jnp.concatenate([f2, jnp.zeros((pad,) + f2.shape[1:], f2.dtype)])
-    nb = f1.shape[0] // _TILE_BATCH
-    th, tw = grid.tile_shape
 
-    def split_xy(f):
-        return (
-            f[..., 0].reshape(nb, _TILE_BATCH, th, tw),
-            f[..., 1].reshape(nb, _TILE_BATCH, th, tw),
-        )
-
-    a_x, a_y = split_xy(f1)
-    b_x, b_y = split_xy(f2)
-
-    def one(args):
-        ax, ay, bx, by = args
+    def compose_chunk(ax, ay, bx, by):
         merged = compose_flows_batched(
             jnp.stack([ax, ay], axis=-1), jnp.stack([bx, by], axis=-1)
         )
         return merged[..., 0], merged[..., 1]
 
-    mx, my = jax.lax.map(one, (a_x, a_y, b_x, b_y))
-    mx = mx.reshape(nb * _TILE_BATCH, th, tw)[:n]
-    my = my.reshape(nb * _TILE_BATCH, th, tw)[:n]
+    mx, my = tile_map(
+        compose_chunk,
+        (f1[..., 0], f1[..., 1], f2[..., 0], f2[..., 1]),
+        batch=_TILE_BATCH,
+        mesh=mesh,
+    )
     return jnp.stack([stitch_tiles(mx, grid), stitch_tiles(my, grid)], axis=-1)
 
 

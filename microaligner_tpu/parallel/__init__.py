@@ -13,5 +13,12 @@ from microaligner_tpu.parallel.mesh import (
     sharded_tile_map,
     shard_tiles_round_up,
 )
+from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
 
-__all__ = ["get_tile_mesh", "sharded_tile_map", "shard_tiles_round_up"]
+__all__ = [
+    "get_tile_mesh",
+    "sharded_tile_map",
+    "shard_tiles_round_up",
+    "current_tile_mesh",
+    "tile_map",
+]

@@ -24,3 +24,18 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _single_worker_default():
+    """Default every test to a 1-device worker mesh.
+
+    The production tiled ops shard over all visible devices by default; on
+    this virtual 8-device CPU mesh (1 physical core) that would make every
+    multi-tile test pay 8x oversubscription.  Sharded-equality tests opt in
+    via set_number_of_workers explicitly."""
+    from microaligner_tpu.utils.workers import set_number_of_workers
+
+    set_number_of_workers(1)
+    yield
+    set_number_of_workers(0)
