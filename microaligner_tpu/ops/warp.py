@@ -253,7 +253,10 @@ def affine_warp(img, t_mat, dsize: tuple[int, int] | None = None):
 
     ``t_mat`` is the forward 2x3 matrix; we invert it on the host (pinv of the
     3x3 homogeneous form, handling singular matrices like the reference's
-    transform_img_with_tmat at shared_modules/utils.py:104-108) and gather.
+    transform_img_with_tmat at shared_modules/utils.py:104-108).  Near-identity
+    transforms on large planes take the gather-free tiled band path
+    (ops/affine_tiled.py — TPU gathers are ~50x slower than shifted slices);
+    everything else falls back to the exact bilinear gather.
     ``dsize`` is (H, W); defaults to the input shape.
     """
     img = jnp.asarray(img)
@@ -261,6 +264,12 @@ def affine_warp(img, t_mat, dsize: tuple[int, int] | None = None):
     hom = np.vstack([t, [0.0, 0.0, 1.0]])
     inv = np.linalg.pinv(hom)
     out_h, out_w = dsize if dsize is not None else img.shape[:2]
+    if img.ndim == 2 and jnp.issubdtype(img.dtype, jnp.floating):
+        from microaligner_tpu.ops.affine_tiled import affine_warp_tiled
+
+        out = affine_warp_tiled(img, inv[:2], int(out_h), int(out_w))
+        if out is not None:
+            return out
     return _affine_warp_core(img, jnp.asarray(inv[:2], jnp.float32), out_h, out_w)
 
 

@@ -81,23 +81,40 @@ def save_param(out_dir: Path, tmat_per_cycle, padding_per_cycle, image_shape):
             )
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "dtype_name", "warp"))
-def _apply_affine_plane(img, inv_mat, out_h, out_w, dtype_name, warp):
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _pad_plane(img, out_h, out_w):
+    from microaligner_tpu.ops.pad import calculate_padding_size
+
+    left, right = calculate_padding_size(out_w, img.shape[1])
+    top, bottom = calculate_padding_size(out_h, img.shape[0])
+    return jnp.pad(img, ((top, bottom), (left, right)))
+
+
+def _apply_affine_plane(img, inv_np, out_h, out_w, dtype_name, warp):
     """Device-side pad(+affine) of one plane, preserving dtype.
 
     Matches transform_img_with_tmat semantics (pad -> pinv warp -> truncate
     astype, shared_modules/utils.py:98-114) but stays on device so the apply
-    phase can stream (one async dispatch per plane).
+    phase can stream (dispatches are async).  ``inv_np`` is the host 2x3
+    dst->src matrix: near-identity transforms take the gather-free tiled
+    band path (ops/affine_tiled.py); others the exact bilinear gather.
     """
-    from microaligner_tpu.ops.pad import calculate_padding_size
+    from microaligner_tpu.ops.affine_tiled import affine_warp_tiled
     from microaligner_tpu.ops.warp import _affine_warp_core
 
-    left, right = calculate_padding_size(out_w, img.shape[1])
-    top, bottom = calculate_padding_size(out_h, img.shape[0])
-    padded = jnp.pad(img, ((top, bottom), (left, right)))
+    padded = _pad_plane(img, out_h, out_w)
     if not warp:
         return padded
-    out = _affine_warp_core(padded.astype(jnp.float32), inv_mat, out_h, out_w)
+    out = affine_warp_tiled(padded.astype(jnp.float32), inv_np, out_h, out_w)
+    if out is None:
+        out = _affine_warp_core(
+            padded.astype(jnp.float32), jnp.asarray(inv_np, jnp.float32), out_h, out_w
+        )
+    return _cast_trunc(out, dtype_name)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype_name",))
+def _cast_trunc(out, dtype_name):
     return out.astype(jnp.dtype(dtype_name))  # truncating cast, like astype
 
 
