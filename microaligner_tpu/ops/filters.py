@@ -139,6 +139,15 @@ def _dog_core(img: jax.Array, low_sigma: int, high_sigma: int) -> jax.Array:
     return minmax_normalize_u8(hs - ls)
 
 
+@functools.partial(jax.jit, static_argnames=("low_sigma", "high_sigma"))
+def _dog_core_u8(img: jax.Array, low_sigma: int, high_sigma: int) -> jax.Array:
+    """u8 fast path with the empty-image early-return folded into the graph —
+    the reference's host-side ``img.max() == 0`` check (feature_registrator.py
+    :295) would cost a 30-70 ms device round trip per call over the tunneled
+    backend."""
+    return jnp.where(jnp.max(img) == 0, img, _dog_core(img, low_sigma, high_sigma))
+
+
 def dog(img, use_it: bool = True, low_sigma: int = 5, high_sigma: int = 9):
     """Difference-of-Gaussians preprocessing.
 
@@ -150,8 +159,11 @@ def dog(img, use_it: bool = True, low_sigma: int = 5, high_sigma: int = 9):
     if not use_it:
         return img
     img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        # same dtype on both branches: keep the zero-image check on device
+        return _dog_core_u8(img, low_sigma, high_sigma)
     if int(jax.device_get(jnp.max(img))) == 0:
-        return img
+        return img  # non-u8 passthrough keeps the input dtype (host branch)
     return _dog_core(img, low_sigma, high_sigma)
 
 

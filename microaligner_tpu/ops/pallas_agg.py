@@ -5,10 +5,17 @@ FarnebackUpdateFlow_GaussianBlur stage behind cv.calcOpticalFlowFarneback,
 winsize ~= tile overlap, e.g. 99 taps) is the FLOP-heavy stage of the flow
 engine.  A dense (L, L) matmul wastes ~(1 - winsize/L) of the MXU on the
 empty band, and XLA's block-banded einsum forms lose 2-4x to layout copies.
-These kernels stream each input block through VMEM exactly once and contract
-only the 3 aligned 128-blocks the band touches:
 
-* pass 1 smooths along W:  out[., i] = sum_j Dw[j, i] x[., j]
+Both passes stream every HBM block exactly ONCE: the three overlapping
+128-block views the band needs are assembled in a VMEM ring slab that shifts
+one block per grid step (two warm-up steps per row/column sweep), instead of
+declaring three overlapping BlockSpec views that each re-fetch the same data.
+Out-of-range band blocks are never materialized: the operator factors are
+zero for source indices outside [0, length) (see _band_factors), so the ring
+simply re-fetches a clamped in-range block and multiplies it by zeros.
+
+* pass 1 smooths along W:  out[., i] = sum_j Dw[j, i] x[., j]; its output
+  keeps the padded (hp, wp) geometry so pass 2 reads it with no pad copy.
 * pass 2 smooths along H and fuses the per-pixel 2x2 normal-equation solve
   into the epilogue, emitting flow_x/flow_y directly (2 planes written
   instead of 5).
@@ -70,16 +77,15 @@ def _prec():
     from microaligner_tpu.optflow.farneback import _agg_precision
 
     p = _agg_precision()
-    # Mosaic's dot lowering only knows DEFAULT and HIGHEST; the kernels are
-    # HBM-bound, so rounding HIGH up to HIGHEST costs ~nothing here
+    # Mosaic's dot lowering only knows DEFAULT and HIGHEST; HIGH rounds up
     if p == jax.lax.Precision.HIGH:
         return jax.lax.Precision.HIGHEST
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("winsize", "interpret"))
-def pallas_smooth_w(x: jax.Array, winsize: int, interpret: bool = False) -> jax.Array:
-    """Smooth (N, C, H, W) along W with the banded Gaussian operator."""
+def _smooth_w_padded(x: jax.Array, winsize: int, interpret: bool = False) -> jax.Array:
+    """Smooth (N, C, H, W) along W; returns the PADDED (N, C, hp, wp) result
+    (hp/wp = 128-block round-ups) so pass 2 can consume it with no extra pad."""
     n, c, h, w = x.shape
     assert winsize // 2 <= _B
     f = jnp.asarray(_band_factors(w, winsize))
@@ -87,38 +93,59 @@ def pallas_smooth_w(x: jax.Array, winsize: int, interpret: bool = False) -> jax.
     wp = nbw * _B
     hb = min(_HB, h)
     hpad = (-h) % hb
-    # one zero halo block each side so the 3 consecutive views cover the band
+    # one zero halo block each side; also zeroes the [w, wp) tail so ring
+    # fetches of the last partial block read defined data
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, hpad), (_B, wp - w + _B)))
     hp = h + hpad
-    grid = (n, hp // hb, nbw)
+    grid = (n, hp // hb, nbw + 2)  # two ring warm-up steps per row sweep
 
-    def view(k):
-        return pl.BlockSpec(
-            (1, c, hb, _B), lambda i, r, cc: (i, 0, r, cc + k), memory_space=pltpu.VMEM
-        )
-
-    fac_spec = pl.BlockSpec((1, 3 * _B, _B), lambda i, r, cc: (cc, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, c, hb, _B), lambda i, r, cc: (i, 0, r, cc), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec(
+        (1, c, hb, _B), lambda i, r, s: (i, 0, r, s), memory_space=pltpu.VMEM
+    )
+    fac_spec = pl.BlockSpec(
+        (1, 3 * _B, _B),
+        lambda i, r, s: (jnp.maximum(s - 2, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, c, hb, _B),
+        lambda i, r, s: (i, 0, r, jnp.maximum(s - 2, 0)),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
-        functools.partial(_w_kernel, c, hb, _prec()),
+        functools.partial(_w_kernel_ring, c, hb, _prec()),
         out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
         grid=grid,
-        in_specs=[view(0), view(1), view(2), fac_spec],
+        in_specs=[in_spec, fac_spec],
         out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((c, hb, 3 * _B), jnp.float32)],
         interpret=interpret,
-    )(xp, xp, xp, f)
-    return out[:, :, :h, :w]
+    )(xp, f)
+    return out
 
 
-def _w_kernel(c, hb, prec, xa_ref, xb_ref, xc_ref, f_ref, out_ref):
-    slab = jnp.concatenate([xa_ref[0], xb_ref[0], xc_ref[0]], axis=2)  # (c, hb, 3B)
-    fac = f_ref[0]  # (3B, B)
-    lhs = slab.reshape(c * hb, 3 * _B)
-    y = jax.lax.dot_general(
-        lhs, fac, (((1,), (0,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32,
-    )
-    out_ref[0] = y.reshape(c, hb, _B)
+@functools.partial(jax.jit, static_argnames=("winsize", "interpret"))
+def pallas_smooth_w(x: jax.Array, winsize: int, interpret: bool = False) -> jax.Array:
+    """Smooth (N, C, H, W) along W with the banded Gaussian operator."""
+    n, c, h, w = x.shape
+    return _smooth_w_padded(x, winsize, interpret=interpret)[:, :, :h, :w]
+
+
+def _w_kernel_ring(c, hb, prec, x_ref, f_ref, out_ref, slab_ref):
+    s = pl.program_id(2)
+    # shift the ring one block left, append the newly fetched block
+    shifted = slab_ref[:, :, _B:]
+    slab_ref[:, :, : 2 * _B] = shifted
+    slab_ref[:, :, 2 * _B :] = x_ref[0]
+
+    @pl.when(s >= 2)
+    def _compute():
+        lhs = slab_ref[...].reshape(c * hb, 3 * _B)
+        y = jax.lax.dot_general(
+            lhs, f_ref[0], (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        out_ref[0] = y.reshape(c, hb, _B)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "interpret"))
@@ -130,47 +157,67 @@ def pallas_smooth5_solve(M: jax.Array, winsize: int, interpret: bool = False):
     """
     n, c, h, w = M.shape
     assert c == 5
-    s1 = pallas_smooth_w(M, winsize, interpret=interpret)
+    s1 = _smooth_w_padded(M, winsize, interpret=interpret)  # (n, 5, hp1, wp)
+    hp1, wp = s1.shape[2], s1.shape[3]
 
     f = jnp.asarray(_band_factors_t(h, winsize))
     nbh = f.shape[0]
     hp = nbh * _B
-    wb = min(2 * _B, w)
-    wpad = (-w) % wb
-    s1p = jnp.pad(s1, ((0, 0), (0, 0), (_B, hp - h + _B), (0, wpad)))
-    wp = w + wpad
-    grid = (n, nbh, wp // wb)
+    if hp1 < hp:  # pass-1 row round-up (multiples of _HB) usually covers hp
+        s1 = jnp.pad(s1, ((0, 0), (0, 0), (0, hp - hp1), (0, 0)))
+    wb = 2 * _B if wp % (2 * _B) == 0 else _B  # wp is always a multiple of _B
+    grid = (n, wp // wb, nbh + 2)  # ring over row blocks, two warm-up steps
 
-    def view(k):
-        return pl.BlockSpec(
-            (1, 5, _B, wb), lambda i, r, cc: (i, 0, r + k, cc), memory_space=pltpu.VMEM
-        )
+    nbh1 = s1.shape[2] // _B  # available row blocks in the pass-1 output
 
-    fac_spec = pl.BlockSpec((1, _B, 3 * _B), lambda i, r, cc: (r, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, _B, wb), lambda i, r, cc: (i, r, cc), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec(
+        (1, 5, _B, wb),
+        # fetch row block s-1 clamped in range: out-of-range band rows have
+        # zero factors, so the clamped duplicate contributes nothing
+        lambda i, cc, s: (i, 0, jnp.clip(s - 1, 0, nbh1 - 1), cc),
+        memory_space=pltpu.VMEM,
+    )
+    fac_spec = pl.BlockSpec(
+        (1, _B, 3 * _B),
+        lambda i, cc, s: (jnp.maximum(s - 2, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, _B, wb),
+        lambda i, cc, s: (i, jnp.maximum(s - 2, 0), cc),
+        memory_space=pltpu.VMEM,
+    )
     shape = jax.ShapeDtypeStruct((n, hp, wp), jnp.float32)
     fx, fy = pl.pallas_call(
-        functools.partial(_h_solve_kernel, wb, _prec()),
+        functools.partial(_h_solve_kernel_ring, wb, _prec()),
         out_shape=(shape, shape),
         grid=grid,
-        in_specs=[view(0), view(1), view(2), fac_spec],
+        in_specs=[in_spec, fac_spec],
         out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((5, 3 * _B, wb), jnp.float32)],
         interpret=interpret,
-    )(s1p, s1p, s1p, f)
+    )(s1, f)
     return fx[:, :h, :w], fy[:, :h, :w]
 
 
-def _h_solve_kernel(wb, prec, xa_ref, xb_ref, xc_ref, f_ref, fx_ref, fy_ref):
-    slab = jnp.concatenate([xa_ref[0], xb_ref[0], xc_ref[0]], axis=1)  # (5, 3B, wb)
-    lhs = f_ref[0]  # (B, 3B), pre-transposed: out[i, w] = sum_j lhs[i, j] slab[j, w]
-    sm = [
-        jax.lax.dot_general(
-            lhs, slab[ch], (((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32,
-        )
-        for ch in range(5)
-    ]  # 5 x (B, wb)
-    g11, g12, g22, h1, h2 = sm
-    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    fx_ref[0] = (g11 * h2 - g12 * h1) * idet
-    fy_ref[0] = (g22 * h1 - g12 * h2) * idet
+def _h_solve_kernel_ring(wb, prec, x_ref, f_ref, fx_ref, fy_ref, slab_ref):
+    s = pl.program_id(2)
+    shifted = slab_ref[:, _B:, :]
+    slab_ref[:, : 2 * _B, :] = shifted
+    slab_ref[:, 2 * _B :, :] = x_ref[0]
+
+    @pl.when(s >= 2)
+    def _compute():
+        lhs = f_ref[0]  # (B, 3B): out[i, w] = sum_j lhs[i, j] slab[j, w]
+        slab = slab_ref[...]
+        sm = [
+            jax.lax.dot_general(
+                lhs, slab[ch], (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            for ch in range(5)
+        ]  # 5 x (B, wb)
+        g11, g12, g22, h1, h2 = sm
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        fx_ref[0] = (g11 * h2 - g12 * h1) * idet
+        fy_ref[0] = (g22 * h1 - g12 * h2) * idet

@@ -66,8 +66,11 @@ def pallas_update_matrices(
         raise ValueError(f"pallas_update_matrices needs H >= {2 * band + 1}, got {h}")
     hpad = (-h) % rb
     # rows: `pad` halo on top, `pad + hpad + rb` below so the (r+1) row-block
-    # view stays in bounds for the last output block
-    R1p = jnp.pad(R1, ((0, 0), (0, 0), (pad, pad + hpad + rb), (pad, pad)))
+    # view stays in bounds for the last output block.  Lanes: `pad` halo left,
+    # right halo rounded so the slab lane count is 128-aligned — the dynamic
+    # lane rotate in the kernel requires an aligned shape.
+    wal = -(-(w + 2 * pad) // 128) * 128
+    R1p = jnp.pad(R1, ((0, 0), (0, 0), (pad, pad + hpad + rb), (pad, wal - w - pad)))
     if hpad:
         zs = ((0, 0), (0, hpad), (0, 0))
         dxi = jnp.pad(dxi, zs)
@@ -84,10 +87,10 @@ def pallas_update_matrices(
     # rb + 2*pad rows each output block needs (overlapping windows aren't
     # expressible with one BlockSpec)
     r1_spec_a = pl.BlockSpec(
-        (1, 5, rb, w + 2 * pad), lambda i, r: (i, 0, r, 0), memory_space=pltpu.VMEM
+        (1, 5, rb, wal), lambda i, r: (i, 0, r, 0), memory_space=pltpu.VMEM
     )
     r1_spec_b = pl.BlockSpec(
-        (1, 5, rb, w + 2 * pad), lambda i, r: (i, 0, r + 1, 0), memory_space=pltpu.VMEM
+        (1, 5, rb, wal), lambda i, r: (i, 0, r + 1, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_kernel, band, rb, h, w),
@@ -95,7 +98,7 @@ def pallas_update_matrices(
         grid=grid,
         in_specs=[r0_spec, r1_spec_a, r1_spec_b] + [field_spec] * 4,
         out_specs=r0_spec,
-        scratch_shapes=[pltpu.VMEM((5, 2 * rb, w + 2 * pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((5, 2 * rb, wal), jnp.float32)],
         interpret=interpret,
     )(R0, R1p, R1p, dxi, dyi, tx, ty)
     return out[:, :, :h, :]
@@ -116,19 +119,27 @@ def _kernel(
     tx = tx_ref[0]
     ty = ty_ref[0]
 
-    # horizontal bilinear weights are shared by every row offset d — compute
-    # the 2band+1 maps once instead of once per (d, e) pair
-    wxs = [
-        jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
-        for e in range(-band, band + 1)
-    ]
-
-    # row offsets run through a fori_loop (not unrolled): Mosaic's scoped
+    # The bilinear accumulation is a (2band+1)² select-FMA sweep, but each
+    # pixel touches only a 2x2 stencil, and flows are spatially smooth: the
+    # integer displacements in one row block typically span 2-3 values, not
+    # 2band+1.  Both offset loops therefore run with DYNAMIC bounds — the
+    # block's [min, max] displacement range — skipping offsets nobody uses
+    # (exactly zero weight), which cuts the roll+select work ~9x for typical
+    # sub-pixel per-level flows.  Worst-case spread degrades to the full
+    # static sweep.  Loops stay fori_loops (not unrolled): Mosaic's scoped
     # stack allocation keeps every unrolled iteration's slices live, which
-    # blows the 16 MB VMEM budget at 5 channels x 81 iterations.  The
-    # loop-varying row window comes from a dynamic sublane rotate + static
-    # slice (unaligned dynamic-start vector loads aren't lowerable).
+    # blows the 16 MB VMEM budget.  The loop-varying row window comes from a
+    # dynamic sublane rotate + static slice (unaligned dynamic-start vector
+    # loads aren't lowerable); the column window from a dynamic lane rotate.
     slab = slab_ref[...]
+
+    # clamp to the band: out-of-band displacements belong to fully-outside
+    # pixels whose sampled value the combine masks out (inb False), so
+    # skipping them is exact
+    dy_lo = jnp.maximum(jnp.min(dyi), -band)
+    dy_hi = jnp.minimum(jnp.max(dyi), band - 1)
+    dx_lo = jnp.maximum(jnp.min(dxi), -band)
+    dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
 
     def row_term(k, acc):
         d = k - band
@@ -137,14 +148,28 @@ def _kernel(
         # because pad + d + rb <= 2*rb for rb >= 2*band + 1
         rolled = pltpu.roll(slab, -d, 1)
         rows = jax.lax.slice_in_dim(rolled, pad, pad + rb, axis=1)
-        cd = jnp.zeros((5, rb, w), jnp.float32)
-        for idx, e in enumerate(range(-band, band + 1)):
-            seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
-            cd = cd + wxs[idx][None] * seg
+
+        def col_term(j, cd):
+            e = j - band
+            wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
+            # lanes [pad, pad+w) of the -e rotate never wrap (|e| < pad)
+            rolled_e = pltpu.roll(rows, -e, 2)
+            seg = jax.lax.slice_in_dim(rolled_e, pad, pad + w, axis=2)
+            return cd + wx[None] * seg
+
+        cd = jax.lax.fori_loop(
+            dx_lo + band,
+            dx_hi + band + 2,
+            col_term,
+            jnp.zeros((5, rb, w), jnp.float32),
+        )
         return acc + wy[None] * cd
 
     acc = jax.lax.fori_loop(
-        0, 2 * band + 1, row_term, jnp.zeros((5, rb, w), jnp.float32)
+        dy_lo + band,
+        dy_hi + band + 2,
+        row_term,
+        jnp.zeros((5, rb, w), jnp.float32),
     )
 
     # ---- combine into the normal equations (mirrors _combine_matrices_cf) ----

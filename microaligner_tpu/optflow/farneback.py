@@ -377,15 +377,18 @@ def _block_banded_factors(length: int, winsize: int, block: int):
 def _agg_precision():
     """MXU precision for the window aggregation.
 
-    HIGH (3-pass bf16) halves the cost of HIGHEST (6-pass) and keeps the
-    flow within the cv2 parity bars (mean < 1e-3 px, max < 0.05 px) —
-    validated on real TPU hardware (CPU f32 matmuls don't exercise the
-    bf16 passes, so this is checked by scripts/tpu_parity_check.py rather
-    than the CPU test suite).  Override with MICROALIGNER_TPU_AGG_PRECISION.
+    DEFAULT (single-pass bf16) is 6x cheaper than HIGHEST and keeps the flow
+    comfortably within the cv2 parity bars: measured on real TPU v5e at 2048²
+    win99 iter3, flow mean abs diff 3.2e-4 px (bar 1e-3), max 0.005 px (bar
+    0.05), warped MSE 2.9e-10 (bar 1e-3) — scripts/tpu_parity_check.py (the
+    CPU test suite runs f32 matmuls and can't exercise the bf16 passes).
+    The aggregation is a weighted mean of ~winsize² same-sign terms, so bf16
+    input rounding largely cancels instead of accumulating.
+    Override with MICROALIGNER_TPU_AGG_PRECISION=high|highest.
     """
     import os
 
-    name = os.environ.get("MICROALIGNER_TPU_AGG_PRECISION", "high").lower()
+    name = os.environ.get("MICROALIGNER_TPU_AGG_PRECISION", "default").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
