@@ -76,10 +76,11 @@ def _find_features_tiled_jit(img: jax.Array, grid: TileGrid, k_per_tile: int, me
         desc = daisy_at_points(tile.astype(jnp.float32), coords)
         return coords, desc, valid, resp
 
-    # batch=1: one tile's FAST scores + DAISY orientation maps at a time
-    # (a 1102^2 tile expands ~10x in the orientation stack)
+    # unbatched map: one tile's FAST scores + DAISY orientation maps at a
+    # time (a 1102^2 tile expands ~10x in the orientation stack), and the
+    # per-keypoint DAISY gathers compile/run worse in vmapped batch-1 form
     coords, desc, valid, resp = tile_map(
-        jax.vmap(per_tile), (tiles,), batch=1, mesh=mesh
+        per_tile, (tiles,), batch=1, mesh=mesh, unbatched=True
     )
 
     # shift tile-local coords to global (tile_registration.py:53-66)

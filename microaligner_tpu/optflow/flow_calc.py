@@ -17,7 +17,12 @@ import numpy as np
 
 from microaligner_tpu.optflow.farneback import farneback, _farneback_core_batched
 from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
-from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
+from microaligner_tpu.tiles import (
+    TileGrid,
+    pad_canvas,
+    stitch_interiors,
+    tile_origins,
+)
 
 __all__ = ["TileFlowCalc", "calc_flow_tiled"]
 
@@ -46,23 +51,36 @@ def calc_flow_tiled(
 
 @functools.partial(jax.jit, static_argnames=("grid", "win_size", "num_iter", "mesh"))
 def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh):
-    ref_tiles = split_into_tiles(ref_img, grid)
-    mov_tiles = split_into_tiles(mov_img, grid)
+    # halo windows are sliced per chunk from 1x canvases (block copies inside
+    # the bounded map) instead of materializing the (N, win, win) stacks —
+    # at 20k x 20k the duplicated halo stacks alone would be ~2x image memory
+    canvas_r = pad_canvas(ref_img, grid)
+    canvas_m = pad_canvas(mov_img, grid)
+    origins = jnp.asarray(tile_origins(grid))
+    win_h, win_w = grid.tile_shape
+    o = grid.overlap
 
-    def flow_chunk(mt, rt):
+    def flow_chunk(orig, cr, cm):
+        def get(c, p):
+            return jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w))
+
+        wr = jax.lax.map(lambda p: get(cr, p), orig)
+        wm = jax.lax.map(lambda p: get(cm, p), orig)
         flow = _farneback_core_batched(
-            mt.astype(jnp.float32), rt.astype(jnp.float32),
+            wm.astype(jnp.float32), wr.astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
         )
         # x/y channels travel separately: a rank-5 stack with a trailing dim
         # of 2 can get a T(8,128) layout (64x padding) at 20k scale
-        return flow[..., 0], flow[..., 1]
+        interior = flow[:, o : o + grid.tile_h, o : o + grid.tile_w]
+        return interior[..., 0], interior[..., 1]
 
     fx, fy = tile_map(
-        flow_chunk, (mov_tiles, ref_tiles), batch=_TILE_BATCH, mesh=mesh
+        flow_chunk, (origins,), batch=_TILE_BATCH, mesh=mesh,
+        broadcast=(canvas_r, canvas_m),
     )
     return jnp.stack(
-        [stitch_tiles(fx, grid), stitch_tiles(fy, grid)], axis=-1
+        [stitch_interiors(fx, grid), stitch_interiors(fy, grid)], axis=-1
     )
 
 

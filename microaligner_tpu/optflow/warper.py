@@ -21,7 +21,13 @@ import numpy as np
 
 from microaligner_tpu.ops.warp import warp_with_flow_batched
 from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
-from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
+from microaligner_tpu.tiles import (
+    TileGrid,
+    pad_canvas,
+    split_interiors,
+    stitch_interiors,
+    tile_origins,
+)
 
 __all__ = ["Warper", "warp_tiled"]
 
@@ -38,13 +44,20 @@ def _warp_tiled_jit(image, flow, grid, out_dtype_name, mesh):
     """Tiled warp, tile axis sharded over the worker mesh, with bounded
     batches and minimal live memory:
 
-    * tiles are split in the image's native dtype (u8/u16 planes stay small),
+    * image halo windows are sliced per chunk from a 1x canvas in the
+      image's native dtype (u8/u16 planes stay small; no halo-duplicated
+      stacks — those would triple flow-sized memory at 20k scale),
+    * flow travels as interior-only tiles (a pure reshape of the flow, 1x);
+      only interior output pixels use flow values, so the halo flow the old
+      per-tile split carried was computed and then cropped away,
     * each chunk is cast -> warped -> rounded back inside the map, so only
       output-dtype tiles accumulate,
     * flow channels travel separately (a rank-5 stack with a trailing dim of
       2 can get a T(8,128) layout = 64x padding at 20k scale).
     """
     out_dt = jnp.dtype(out_dtype_name)
+    o = grid.overlap
+    win_h, win_w = grid.tile_shape
 
     def finish(w):
         if jnp.issubdtype(out_dt, jnp.integer):
@@ -52,23 +65,31 @@ def _warp_tiled_jit(image, flow, grid, out_dtype_name, mesh):
             w = jnp.clip(jnp.round(w), info.min, info.max)
         return w.astype(out_dt)
 
-    img_tiles = split_into_tiles(image, grid)
-    flow_tiles = split_into_tiles(flow, grid)
+    canvas = pad_canvas(image, grid)
+    fx_int = split_interiors(flow[..., 0], grid)
+    fy_int = split_interiors(flow[..., 1], grid)
+    origins = jnp.asarray(tile_origins(grid))
 
-    def warp_chunk(it, fxt, fyt):
-        return finish(
-            warp_with_flow_batched(
-                it.astype(jnp.float32), jnp.stack([fxt, fyt], axis=-1)
-            )
+    def warp_chunk(orig, fxt, fyt, canvas_):
+        wins = jax.lax.map(
+            lambda p: jax.lax.dynamic_slice(canvas_, (p[0], p[1]), (win_h, win_w)),
+            orig,
         )
+        # window-sized flow: zero halo (those outputs are cropped), interiors
+        # are the real flow — identical interior results to the halo'd split
+        zo = ((0, 0), (o, o), (o, o))
+        fw = jnp.stack([jnp.pad(fxt, zo), jnp.pad(fyt, zo)], axis=-1)
+        w = warp_with_flow_batched(wins.astype(jnp.float32), fw)
+        return finish(w[:, o : o + grid.tile_h, o : o + grid.tile_w])
 
     warped = tile_map(
         warp_chunk,
-        (img_tiles, flow_tiles[..., 0], flow_tiles[..., 1]),
+        (origins, fx_int, fy_int),
         batch=_TILE_BATCH,
         mesh=mesh,
+        broadcast=(canvas,),
     )
-    return stitch_tiles(warped, grid)
+    return stitch_interiors(warped, grid)
 
 
 def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
@@ -85,24 +106,43 @@ def compose_flows_tiled(flow1: jax.Array, flow2: jax.Array, grid: TileGrid) -> j
 
 @functools.partial(jax.jit, static_argnames=("grid", "mesh"))
 def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
+    # both flows' halo windows come from 1x canvases per chunk (the per-tile
+    # zero-max shortcuts of merge_two_flows are computed over the full halo
+    # tile, exactly like the reference, so f1 windows are needed too)
     from microaligner_tpu.ops.warp import compose_flows_batched
 
-    f1 = split_into_tiles(flow1, grid)
-    f2 = split_into_tiles(flow2, grid)
+    c1x = pad_canvas(flow1[..., 0], grid)
+    c1y = pad_canvas(flow1[..., 1], grid)
+    c2x = pad_canvas(flow2[..., 0], grid)
+    c2y = pad_canvas(flow2[..., 1], grid)
+    origins = jnp.asarray(tile_origins(grid))
+    win_h, win_w = grid.tile_shape
+    o = grid.overlap
 
-    def compose_chunk(ax, ay, bx, by):
+    def compose_chunk(orig, c1x_, c1y_, c2x_, c2y_):
+        def wins(c):
+            return jax.lax.map(
+                lambda p: jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w)),
+                orig,
+            )
+
         merged = compose_flows_batched(
-            jnp.stack([ax, ay], axis=-1), jnp.stack([bx, by], axis=-1)
+            jnp.stack([wins(c1x_), wins(c1y_)], axis=-1),
+            jnp.stack([wins(c2x_), wins(c2y_)], axis=-1),
         )
-        return merged[..., 0], merged[..., 1]
+        interior = merged[:, o : o + grid.tile_h, o : o + grid.tile_w]
+        return interior[..., 0], interior[..., 1]
 
     mx, my = tile_map(
         compose_chunk,
-        (f1[..., 0], f1[..., 1], f2[..., 0], f2[..., 1]),
+        (origins,),
         batch=_TILE_BATCH,
         mesh=mesh,
+        broadcast=(c1x, c1y, c2x, c2y),
     )
-    return jnp.stack([stitch_tiles(mx, grid), stitch_tiles(my, grid)], axis=-1)
+    return jnp.stack(
+        [stitch_interiors(mx, grid), stitch_interiors(my, grid)], axis=-1
+    )
 
 
 def warp_tiled_dtype(image: jax.Array, flow: jax.Array, grid: TileGrid, dtype_name: str) -> jax.Array:

@@ -64,6 +64,7 @@ def tile_map(
     batch: int,
     mesh: Optional[Mesh] = None,
     broadcast: Sequence[jax.Array] = (),
+    unbatched: bool = False,
 ):
     """Apply ``fn_batch(*chunks, *broadcast) -> pytree of (B, ...)`` over the
     leading tile axis of each input, in chunks of ``batch`` tiles, sharded
@@ -74,6 +75,10 @@ def tile_map(
       ``fn_batch`` whole (e.g. a source canvas that per-tile windows slice).
     * ``fn_batch`` sees ``(B, ...)`` slices (B = min(batch, local tile count))
       and must be shape-polymorphic only in data, not in B (it is traced once).
+    * ``unbatched=True``: ``fn_batch`` is a per-tile function instead; each
+      device runs a plain ``lax.map`` over its local tiles (``batch`` is
+      ignored).  Use for kernels whose vmapped form compiles worse than the
+      unbatched trace (e.g. per-keypoint gathers in the feature path).
     * Tiles are zero-padded up to the device and batch multiples; padded rows
       are dropped from every output, so ``fn_batch`` may produce garbage on
       all-zero tiles.
@@ -90,6 +95,8 @@ def tile_map(
     def local(*args):
         arrs, bcast = args[:n_tiled], args[n_tiled:]
         nloc = arrs[0].shape[0]
+        if unbatched:
+            return jax.lax.map(lambda ts: fn_batch(*ts, *bcast), arrs)
         b = min(batch, nloc)
         pad = (-nloc) % b
         arrs = _pad_leading(arrs, pad)

@@ -23,7 +23,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TileGrid", "split_into_tiles", "stitch_tiles"]
+__all__ = [
+    "TileGrid",
+    "split_into_tiles",
+    "stitch_tiles",
+    "pad_canvas",
+    "tile_origins",
+    "split_interiors",
+    "stitch_interiors",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +107,76 @@ def split_into_tiles(img: jax.Array, grid: TileGrid) -> jax.Array:
     if squeeze:
         tiles = tiles[..., 0]
     return tiles
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def pad_canvas(img: jax.Array, grid: TileGrid) -> jax.Array:
+    """The zero-padded canvas every halo window slices from: image offset by
+    ``overlap`` with zeros outside (exactly split_into_tiles' intermediate).
+
+    Window i,j == ``canvas[i*tile_h : i*tile_h + win_h, j*tile_w : ...]`` —
+    kept as ONE array so big-image tile ops can extract windows per bounded
+    chunk (dynamic_slice block copies) instead of materializing the full
+    (N, win, win) halo-duplicated stack (~3x the flow memory at 20k scale).
+    """
+    o = grid.overlap
+    squeeze = img.ndim == 2
+    x = img if not squeeze else img[..., None]
+    canvas = jnp.pad(
+        x,
+        (
+            (o, grid.padded_h - grid.height + o),
+            (o, grid.padded_w - grid.width + o),
+            (0, 0),
+        ),
+        mode="constant",
+    )
+    return canvas[..., 0] if squeeze else canvas
+
+
+def tile_origins(grid: TileGrid) -> "np.ndarray":
+    """(N, 2) int32 window origins (row, col) in pad_canvas coordinates."""
+    import numpy as np
+
+    jj, ii = np.meshgrid(np.arange(grid.nx), np.arange(grid.ny))
+    return np.stack(
+        [ii.ravel() * grid.tile_h, jj.ravel() * grid.tile_w], axis=-1
+    ).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def split_interiors(arr: jax.Array, grid: TileGrid) -> jax.Array:
+    """``(H, W[, C]) -> (N, tile_h, tile_w[, C])`` interior tiles — a pure
+    pad+reshape (no halo duplication)."""
+    squeeze = arr.ndim == 2
+    x = arr if not squeeze else arr[..., None]
+    c = x.shape[-1]
+    x = jnp.pad(
+        x,
+        (
+            (0, grid.padded_h - grid.height),
+            (0, grid.padded_w - grid.width),
+            (0, 0),
+        ),
+    )
+    x = x.reshape(grid.ny, grid.tile_h, grid.nx, grid.tile_w, c)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(
+        grid.num_tiles, grid.tile_h, grid.tile_w, c
+    )
+    return x[..., 0] if squeeze else x
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def stitch_interiors(tiles: jax.Array, grid: TileGrid) -> jax.Array:
+    """``(N, tile_h, tile_w[, C]) -> (H, W[, C])`` — inverse of
+    ``split_interiors`` (tiles carry no halo to crop)."""
+    squeeze = tiles.ndim == 3
+    t = tiles if not squeeze else tiles[..., None]
+    c = t.shape[-1]
+    t = t.reshape(grid.ny, grid.nx, grid.tile_h, grid.tile_w, c)
+    out = t.transpose(0, 2, 1, 3, 4).reshape(grid.padded_h, grid.padded_w, c)
+    out = out[: grid.height, : grid.width]
+    return out[..., 0] if squeeze else out
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
