@@ -23,7 +23,13 @@ import numpy as np
 
 from microaligner_tpu.utils.logging import log, stage_timer
 
-__all__ = ["nmi_u8", "mi_tiled", "mutual_information_test", "check_if_higher_similarity"]
+__all__ = [
+    "nmi_u8",
+    "mi_tiled",
+    "mi_tiled_traced",
+    "mutual_information_test",
+    "check_if_higher_similarity",
+]
 
 _BINS = 256
 
@@ -142,6 +148,27 @@ def mi_tiled(arr1, arr2, tile_size: int) -> float:
     if rem > 0:
         scores.append(nmi_u8(a[nfull * chunk :], b[nfull * chunk :]))
     return float(np.mean(scores))
+
+
+def mi_tiled_traced(arr1: jax.Array, arr2: jax.Array, tile_size: int) -> jax.Array:
+    """``mi_tiled`` as a traceable scalar (same chunking, same mean), for use
+    inside fused jitted programs — shapes are static at trace time, so the
+    chunk split is resolved in Python exactly as the host version does."""
+    a = arr1.reshape(-1)
+    b = arr2.reshape(-1)
+    if max(arr1.shape) / tile_size < 2:
+        return _nmi_u8_core(a, b)
+    chunk = tile_size * tile_size
+    nfull = a.shape[0] // chunk
+    scores = []
+    if nfull > 0:
+        a2 = a[: nfull * chunk].reshape(nfull, chunk).astype(jnp.int32)
+        b2 = b[: nfull * chunk].reshape(nfull, chunk).astype(jnp.int32)
+        hists = _hist_batched(a2, b2, jnp.ones_like(a2, jnp.float32))
+        scores.append(jax.vmap(_nmi_from_hist)(hists))
+    if a.shape[0] - nfull * chunk > 0:
+        scores.append(_nmi_u8_core(a[nfull * chunk :], b[nfull * chunk :])[None])
+    return jnp.mean(jnp.concatenate([s.reshape(-1) for s in scores]))
 
 
 def mutual_information_test(ref_arr, test_arr, init_arr, tile_size: int) -> Tuple[float, float]:

@@ -61,7 +61,9 @@ def pallas_update_matrices(
     n, c, h, w = R0.shape
     assert c == 5
     pad = band + 1
-    rb = min(_ROW_BLOCK, h)
+    # the row block must cover the band's roll range; round to sublanes
+    rb = max(_ROW_BLOCK, -(-(2 * band + 1) // 8) * 8)
+    rb = min(rb, h)
     if rb < 2 * band + 1:
         raise ValueError(f"pallas_update_matrices needs H >= {2 * band + 1}, got {h}")
     hpad = (-h) % rb
@@ -98,14 +100,19 @@ def pallas_update_matrices(
         grid=grid,
         in_specs=[r0_spec, r1_spec_a, r1_spec_b] + [field_spec] * 4,
         out_specs=r0_spec,
-        scratch_shapes=[pltpu.VMEM((5, 2 * rb, wal), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((5, 2 * rb, wal), jnp.float32),
+            pltpu.VMEM((5, rb, w), jnp.float32),
+            pltpu.VMEM((5, rb, w), jnp.float32),
+        ],
         interpret=interpret,
     )(R0, R1p, R1p, dxi, dyi, tx, ty)
     return out[:, :, :h, :]
 
 
 def _kernel(
-    band, rb, h, w, r0_ref, r1a_ref, r1b_ref, dxi_ref, dyi_ref, tx_ref, ty_ref, out_ref, slab_ref
+    band, rb, h, w, r0_ref, r1a_ref, r1b_ref, dxi_ref, dyi_ref, tx_ref, ty_ref,
+    out_ref, slab_ref, acc_ref, cd_ref,
 ):
     pad = band + 1
     r0 = r0_ref[0]  # (5, rb, w)
@@ -138,39 +145,44 @@ def _kernel(
     # skipping them is exact
     dy_lo = jnp.maximum(jnp.min(dyi), -band)
     dy_hi = jnp.minimum(jnp.max(dyi), band - 1)
-    dx_lo = jnp.maximum(jnp.min(dxi), -band)
-    dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
 
-    def row_term(k, acc):
+    # a single outlier pixel in the block stretches [d_lo, d_hi] to the full
+    # band; most d (and e) values in that range have all-zero weights, so the
+    # expensive rolls are skipped at runtime (@pl.when predicated regions
+    # accumulating into VMEM scratch — value-carried lax.cond miscompiles
+    # under Mosaic's nested-region lowering)
+    acc_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
+
+    def row_term(k, carry):
         d = k - band
         wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
-        # rows[i] = slab[pad + d + i]; the rotate never wraps useful rows
-        # because pad + d + rb <= 2*rb for rb >= 2*band + 1
-        rolled = pltpu.roll(slab, -d, 1)
-        rows = jax.lax.slice_in_dim(rolled, pad, pad + rb, axis=1)
 
-        def col_term(j, cd):
-            e = j - band
-            wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
-            # lanes [pad, pad+w) of the -e rotate never wrap (|e| < pad)
-            rolled_e = pltpu.roll(rows, -e, 2)
-            seg = jax.lax.slice_in_dim(rolled_e, pad, pad + w, axis=2)
-            return cd + wx[None] * seg
+        @pl.when(jnp.any(wy > 0.0))
+        def _row():
+            # rows[i] = slab[pad + d + i]; the rotate never wraps useful rows
+            # because pad + d + rb <= 2*rb for rb >= 2*band + 1
+            rolled = pltpu.roll(slab, -d, 1)
+            rows = jax.lax.slice_in_dim(rolled, pad, pad + rb, axis=1)
+            cd_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
 
-        cd = jax.lax.fori_loop(
-            dx_lo + band,
-            dx_hi + band + 2,
-            col_term,
-            jnp.zeros((5, rb, w), jnp.float32),
-        )
-        return acc + wy[None] * cd
+            # the column loop unrolls with STATIC lane slices: dynamic lane
+            # rotates miscompile under Mosaic when the lane extent spans more
+            # than one 128-tile (verified on v5e — sublane rotates are fine);
+            # absent offsets still skip their FMA at runtime via pl.when
+            for e in range(-band, band + 1):
+                wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
 
-    acc = jax.lax.fori_loop(
-        dy_lo + band,
-        dy_hi + band + 2,
-        row_term,
-        jnp.zeros((5, rb, w), jnp.float32),
-    )
+                @pl.when(jnp.any(wx > 0.0))
+                def _col(e=e, wx=wx):
+                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
+                    cd_ref[...] += wx[None] * seg
+
+            acc_ref[...] += wy[None] * cd_ref[...]
+
+        return carry
+
+    jax.lax.fori_loop(dy_lo + band, dy_hi + band + 2, row_term, 0)
+    acc = acc_ref[...]
 
     # ---- combine into the normal equations (mirrors _combine_matrices_cf) ----
     row0 = pl.program_id(1) * rb

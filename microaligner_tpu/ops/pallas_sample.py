@@ -27,7 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_sample_displaced", "PALLAS_OK"]
 
-_ROW_BLOCK = 32
+# 16 rows per block: with the band-7 halo this gives the exact (2rb=32, wal)
+# slab geometry validated on v5e in ops/pallas_matrices.py — 64-row 2-D slabs
+# miscompile under Mosaic's dynamic_rotate lowering (wrong results, caught by
+# the self-test gate).
+_ROW_BLOCK = 16
 
 
 @functools.partial(jax.jit, static_argnames=("band", "interpret"))
@@ -47,11 +51,17 @@ def pallas_sample_displaced(
     """
     n, h, w = img.shape
     pad = band + 1
-    rb = min(_ROW_BLOCK, h)
+    rb = max(min(_ROW_BLOCK, h), -(-(2 * band + 1) // 8) * 8)
+    rb = min(rb, h)
+    if rb < 2 * band + 1:
+        raise ValueError(f"pallas_sample_displaced needs H >= {2 * band + 1}, got {h}")
     hpad = (-h) % rb
     # rows: `pad` halo on top, `pad + hpad + rb` on the bottom so the second
-    # row-block view (r+1) stays in bounds for the last output block
-    imgp = jnp.pad(img, ((0, 0), (pad, pad + hpad + rb), (pad, pad)))
+    # row-block view (r+1) stays in bounds for the last output block.  Lanes:
+    # `pad` halo left, right halo rounded so the slab lane count is
+    # 128-aligned (the dynamic lane rotate requires an aligned shape).
+    wal = -(-(w + 2 * pad) // 128) * 128
+    imgp = jnp.pad(img, ((0, 0), (pad, pad + hpad + rb), (pad, wal - w - pad)))
     if hpad:
         zs = ((0, 0), (0, hpad), (0, 0))
         dxi = jnp.pad(dxi, zs)
@@ -65,40 +75,80 @@ def pallas_sample_displaced(
     # the image is passed twice with consecutive row-block views; their concat
     # covers the rb + 2*pad rows each output block needs (overlapping windows
     # aren't expressible with one BlockSpec), keeping VMEM per step ~1 MB
-    img_spec_a = pl.BlockSpec((1, rb, w + 2 * pad), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM)
-    img_spec_b = pl.BlockSpec((1, rb, w + 2 * pad), lambda i, r: (i, r + 1, 0), memory_space=pltpu.VMEM)
+    img_spec_a = pl.BlockSpec((1, rb, wal), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM)
+    img_spec_b = pl.BlockSpec((1, rb, wal), lambda i, r: (i, r + 1, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel_batched, band, rb),
         out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.float32),
         grid=grid,
         in_specs=[img_spec_a, img_spec_b, field_spec, field_spec, field_spec, field_spec],
         out_specs=field_spec,
+        scratch_shapes=[
+            pltpu.VMEM((rb, w), jnp.float32),
+            pltpu.VMEM((rb, w), jnp.float32),
+        ],
         interpret=interpret,
     )(imgp, imgp, dxi, dyi, tx, ty)
     return out[:, :h, :]
 
 
-def _kernel_batched(band, row_block, img_a_ref, img_b_ref, dxi_ref, dyi_ref, tx_ref, ty_ref, out_ref):
-    """Leading singleton batch dim from the BlockSpecs; squeeze and compute."""
+def _kernel_batched(
+    band, row_block, img_a_ref, img_b_ref, dxi_ref, dyi_ref, tx_ref, ty_ref,
+    out_ref, acc_ref, cd_ref,
+):
+    """Leading singleton batch dim from the BlockSpecs; squeeze and compute.
+
+    Offset loops run with DYNAMIC bounds (the block's displacement spread,
+    clamped to the band) and skip all-zero-weight offsets at runtime
+    (@pl.when regions accumulating into VMEM scratch): real flows are
+    sub-pixel almost everywhere, so the (2band+1)² sweep collapses to the
+    few offsets actually present.
+    """
     w = out_ref.shape[2]
     pad = band + 1
-    # two consecutive row blocks concatenated cover all band shifts with
-    # static (Mosaic-friendly) slices
-    slab_all = jnp.concatenate([img_a_ref[0], img_b_ref[0]], axis=0)
+    # two consecutive row blocks concatenated cover all band shifts; keep the
+    # leading singleton dim so the slab is 3-D — the exact rank/axis geometry
+    # the validated matrices kernel rolls (2-D slabs miscompile)
+    slab = jnp.concatenate([img_a_ref[:], img_b_ref[:]], axis=1)  # (1, 2rb, wal)
     dxi = dxi_ref[0]
     dyi = dyi_ref[0]
     tx = tx_ref[0]
     ty = ty_ref[0]
-    acc = jnp.zeros((row_block, w), jnp.float32)
-    for d in range(-band, band + 1):
+
+    dy_lo = jnp.maximum(jnp.min(dyi), -band)
+    dy_hi = jnp.minimum(jnp.max(dyi), band - 1)
+
+    acc_ref[...] = jnp.zeros((row_block, w), jnp.float32)
+
+    def row_term(k, carry):
+        d = k - band
         wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
-        slab = jax.lax.slice_in_dim(slab_all, pad + d, pad + d + row_block, axis=0)
-        cd = jnp.zeros((row_block, w), jnp.float32)
-        for e in range(-band, band + 1):
-            wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
-            cd = cd + wx * jax.lax.slice_in_dim(slab, pad + e, pad + e + w, axis=1)
-        acc = acc + wy * cd
-    out_ref[0] = acc
+
+        @pl.when(jnp.any(wy > 0.0))
+        def _row():
+            # rows[i] = slab[pad + d + i]; never wraps: pad + d + rb <= 2*rb
+            rolled = pltpu.roll(slab, -d, 1)
+            rows = jax.lax.slice_in_dim(rolled, pad, pad + row_block, axis=1)
+            cd_ref[...] = jnp.zeros((row_block, w), jnp.float32)
+
+            # the column loop unrolls with STATIC lane slices: dynamic lane
+            # rotates miscompile under Mosaic when the lane extent spans more
+            # than one 128-tile (verified on v5e — sublane rotates are fine);
+            # absent offsets still skip their FMA at runtime via pl.when
+            for e in range(-band, band + 1):
+                wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
+
+                @pl.when(jnp.any(wx > 0.0))
+                def _col(e=e, wx=wx):
+                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
+                    cd_ref[...] += wx * seg[0]
+
+            acc_ref[...] += wy * cd_ref[...]
+
+        return carry
+
+    jax.lax.fori_loop(dy_lo + band, dy_hi + band + 2, row_term, 0)
+    out_ref[0] = acc_ref[...]
 
 
 def _self_test() -> bool:
@@ -115,13 +165,14 @@ def _self_test() -> bool:
 def _self_test_body() -> bool:
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((2, 256, 256)), jnp.float32)
-    flow = (rng.random((2, 256, 256, 2)) - 0.5) * 4
+    # displacements span most of the production band (ops/warp.py uses 7)
+    flow = (rng.random((2, 256, 256, 2)) - 0.5) * 13
     fx = jnp.asarray(flow[..., 0], jnp.float32)
     fy = jnp.asarray(flow[..., 1], jnp.float32)
     x1 = jnp.floor(fx)
     y1 = jnp.floor(fy)
     out = pallas_sample_displaced(
-        img, x1.astype(jnp.int32), y1.astype(jnp.int32), fx - x1, fy - y1, band=4
+        img, x1.astype(jnp.int32), y1.astype(jnp.int32), fx - x1, fy - y1, band=7
     )
     out = np.asarray(out)
     # compare against the XLA banded path directly (NOT the public
@@ -130,7 +181,7 @@ def _self_test_body() -> bool:
 
     ref = np.asarray(
         jax.jit(
-            jax.vmap(lambda i, f: _sample_banded_one(i, f, 4))
+            jax.vmap(lambda i, f: _sample_banded_one(i, f, 7))
         )(img[..., None], jnp.asarray(flow, jnp.float32))
     )[..., 0]
     return bool(np.allclose(out, ref, atol=1e-5))

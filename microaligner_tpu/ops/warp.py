@@ -126,32 +126,28 @@ def _sample_take_one(img: jax.Array, flow: jax.Array) -> jax.Array:
     return bilinear_remap(img, gx + flow[..., 0], gy + flow[..., 1])
 
 
+# Band for the Mosaic sampling kernel: its offset loops have DYNAMIC bounds
+# and skip absent offsets at runtime, so a wide band costs nothing on typical
+# sub-pixel flows while keeping rare few-pixel excursions (final composed
+# flows reach +-5 px at borders) off the whole-batch exact-gather fallback.
+# 7 is the widest geometry validated on v5e (see ops/pallas_matrices.py).
+_PALLAS_SAMPLE_BAND = 7
+
+
 def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -> jax.Array:
     """Batched ``out(p) = bilinear imgs(p + flow(p))``, zero outside.
 
     ``imgs`` is (N, H, W, C); ``flows`` is (N, H, W, 2).  Uses the banded
     gather-free path when every displacement that touches the image fits in
-    the static band, else falls back to the exact gather — decided by ONE
-    lax.cond outside any vmap, so results always match cv.remap semantics.
+    the static band (the Mosaic kernel's wider band when available), else
+    falls back to the exact gather — decided by ONE lax.cond outside any
+    vmap, so results always match cv.remap semantics.
     """
     h, w = flows.shape[1:3]
-    dxi, dyi, _, _ = jax.vmap(_displacement_fields)(flows)
-    gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 2)
-    gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 1)
-    in_band = (
-        (dxi >= -band) & (dxi <= band - 1) & (dyi >= -band) & (dyi <= band - 1)
-    )
-    # pixels whose whole 2x2 stencil is outside the image contribute 0 in
-    # both paths, so they don't need band coverage
-    abs_x = gx + dxi
-    abs_y = gy + dyi
-    fully_outside = (abs_x < -1) | (abs_x > w - 1) | (abs_y < -1) | (abs_y > h - 1)
-    ok = jnp.all(in_band | fully_outside)
 
     use_pallas = (
         imgs.shape[-1] == 1
-        and band <= 4  # kernel stack scales with band^2; >4 exceeds VMEM
-        and h >= 2 * band + 1  # row-block slicing needs this many rows
+        and h >= 2 * _PALLAS_SAMPLE_BAND + 1  # row-block roll needs the rows
         and jax.default_backend() in ("tpu", "axon")
     )
     if use_pallas:
@@ -160,6 +156,21 @@ def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -
         from microaligner_tpu.ops.pallas_sample import pallas_available
 
         use_pallas = pallas_available()
+    band_eff = _PALLAS_SAMPLE_BAND if use_pallas else band
+
+    dxi, dyi, _, _ = jax.vmap(_displacement_fields)(flows)
+    gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 2)
+    gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 1)
+    in_band = (
+        (dxi >= -band_eff) & (dxi <= band_eff - 1)
+        & (dyi >= -band_eff) & (dyi <= band_eff - 1)
+    )
+    # pixels whose whole 2x2 stencil is outside the image contribute 0 in
+    # both paths, so they don't need band coverage
+    abs_x = gx + dxi
+    abs_y = gy + dyi
+    fully_outside = (abs_x < -1) | (abs_x > w - 1) | (abs_y < -1) | (abs_y > h - 1)
+    ok = jnp.all(in_band | fully_outside)
 
     def banded(args):
         im, fl = args
@@ -168,7 +179,7 @@ def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -
 
             x1i, y1i, tx, ty = jax.vmap(_displacement_fields)(fl)
             return pallas_sample_displaced(
-                im[..., 0], x1i, y1i, tx, ty, band=band
+                im[..., 0], x1i, y1i, tx, ty, band=band_eff
             )[..., None]
         return jax.vmap(lambda i, f: _sample_banded_one(i, f, band))(im, fl)
 

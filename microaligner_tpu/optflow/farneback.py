@@ -227,16 +227,19 @@ def _pallas_matrices_self_test_body() -> bool:
     from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
 
     rng = np.random.default_rng(0)
-    R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
-    R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 96)), jnp.float32)
-    fx = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
-    fy = jnp.asarray((rng.random((2, 64, 96)) - 0.5) * 6, jnp.float32)
+    R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32)
+    R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32)
+    # displacements span most of the production band (_BAND_PALLAS = 8)
+    fx = jnp.asarray((rng.random((2, 64, 320)) - 0.5) * 13, jnp.float32)
+    fy = jnp.asarray((rng.random((2, 64, 320)) - 0.5) * 13, jnp.float32)
     dxi = jnp.floor(fx).astype(jnp.int32)
     dyi = jnp.floor(fy).astype(jnp.int32)
     got = np.asarray(
-        pallas_update_matrices(R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4)
+        pallas_update_matrices(
+            R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=_BAND_PALLAS
+        )
     )
-    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, _BAND_PALLAS))
     return bool(np.allclose(got, want, atol=1e-4))
 
 
@@ -262,6 +265,16 @@ def _inbounds_map(fx, fy, h, w):
     return (ax >= 0) & (ax < w - 1) & (ay >= 0) & (ay < h - 1)
 
 
+# Wider band for the Mosaic kernel: its offset loops have DYNAMIC bounds (the
+# per-block displacement spread), so covering [-7, 6] instead of [-4, 3] costs
+# nothing on typical sub-pixel flows but keeps rare few-pixel excursions (seen
+# at mid-iterations near borders) off the whole-batch exact-gather fallback,
+# which is ~50x slower.  7 is the widest band whose row block stays at 16
+# sublanes — the 24-row geometry a band of 8 needs miscompiles under Mosaic
+# (wrong results verified on v5e; 16-row kernels are exact).
+_BAND_PALLAS = 7
+
+
 def _update_matrices_batched_cf(R0, R1, fx, fy):
     """Batched matrix update, (N, 5, H, W) channels-first.
 
@@ -271,12 +284,15 @@ def _update_matrices_batched_cf(R0, R1, fx, fy):
     leaves the static band — so results always match cv2's update semantics.
     """
     n, c, h, w = R0.shape
+    use_pallas = _pallas_matrices_available(h, _BAND_PALLAS)
+    band = _BAND_PALLAS if use_pallas else _BAND
+
     dxi = jnp.floor(fx).astype(jnp.int32)
     dyi = jnp.floor(fy).astype(jnp.int32)
     gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 2)
     gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 1)
     in_band = (
-        (dxi >= -_BAND) & (dxi <= _BAND - 1) & (dyi >= -_BAND) & (dyi <= _BAND - 1)
+        (dxi >= -band) & (dxi <= band - 1) & (dyi >= -band) & (dyi <= band - 1)
     )
     # pixels whose whole 2x2 stencil is outside take the border branch of the
     # combine in both paths, so they don't need band coverage
@@ -284,8 +300,6 @@ def _update_matrices_batched_cf(R0, R1, fx, fy):
     ay = gy + dyi
     fully_outside = (ax < -1) | (ax > w - 1) | (ay < -1) | (ay > h - 1)
     ok = jnp.all(in_band | fully_outside)
-
-    use_pallas = _pallas_matrices_available(h, _BAND)
 
     def banded(args):
         R0_, R1_, fx_, fy_ = args
@@ -295,7 +309,7 @@ def _update_matrices_batched_cf(R0, R1, fx, fy):
             dxi_ = jnp.floor(fx_).astype(jnp.int32)
             dyi_ = jnp.floor(fy_).astype(jnp.int32)
             return pallas_update_matrices(
-                R0_, R1_, dxi_, dyi_, fx_ - dxi_, fy_ - dyi_, band=_BAND
+                R0_, R1_, dxi_, dyi_, fx_ - dxi_, fy_ - dyi_, band=band
             )
         return _update_matrices_banded_xla(R0_, R1_, fx_, fy_, _BAND)
 

@@ -21,6 +21,7 @@ Behavioral notes (SURVEY §7 "quirks"):
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -58,6 +59,62 @@ def _profile_sync(x):
 def merge_two_flows(flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
     """Compose flow fields (optflow_registrator.py:37-47)."""
     return np.asarray(jax.device_get(compose_flows(jnp.asarray(flow1), jnp.asarray(flow2))))
+
+
+def _dog_traced(img, use_it: bool):
+    """dog() usable under an outer trace (no host zero-check round trip)."""
+    from microaligner_tpu.ops.filters import _dog_core, _dog_core_u8
+
+    if not use_it:
+        return img
+    if img.dtype == jnp.uint8:
+        return _dog_core_u8(img, 5, 9)
+    return _dog_core(img, 5, 9)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "win_size", "num_iter", "use_dog", "tile_size",
+        "pre_warp", "whole_image", "dtype_name",
+    ),
+)
+def _fused_level(
+    ref_lvl, mov_lvl, m_flow,
+    grid, win_size, num_iter, use_dog, tile_size,
+    pre_warp, whole_image, dtype_name,
+):
+    """One pyramid level as ONE device program: optional pre-warp by the
+    accumulated flow, DoG, tiled (or whole-image) Farneback, post-warp, and
+    both NMI gate scores.  The host reads back just two scalars per level —
+    a dozen separate launches otherwise, each costing 25-70 ms over the dev
+    tunnel (and preventing cross-stage overlap on any hardware).
+    """
+    from microaligner_tpu.ops.mutual_info import mi_tiled_traced
+    from microaligner_tpu.optflow.farneback import _farneback_core_batched
+    from microaligner_tpu.optflow.flow_calc import calc_flow_tiled
+
+    mov_this = mov_lvl
+    if pre_warp:
+        mov_this = warp_tiled_dtype(mov_lvl, m_flow, grid, dtype_name)
+
+    ref_dog = _dog_traced(ref_lvl, use_dog)
+    mov_dog = _dog_traced(mov_this, use_dog)
+    if whole_image:
+        this_flow = _farneback_core_batched(
+            jnp.asarray(mov_dog, jnp.float32)[None],
+            jnp.asarray(ref_dog, jnp.float32)[None],
+            win_size, num_iter, 1, 1.7,
+        )[0]
+    else:
+        this_flow = calc_flow_tiled(ref_dog, mov_dog, grid, win_size, num_iter)
+
+    mov_warped = warp_tiled_dtype(mov_this, this_flow, grid, dtype_name)
+
+    gate_ref = _dog_traced(ref_lvl, True)
+    mi_after = mi_tiled_traced(gate_ref, _dog_traced(mov_warped, True), tile_size)
+    mi_before = mi_tiled_traced(gate_ref, _dog_traced(mov_lvl, True), tile_size)
+    return this_flow, mi_after, mi_before
 
 
 class OptFlowRegistrator:
@@ -124,33 +181,24 @@ class OptFlowRegistrator:
         m_flow = None
         for lvl, factor in enumerate(factors):
             log("Pyramid factor", factor)
-            mov_this_lvl = mov_pyr[lvl]
-            grid = TileGrid.for_image(mov_this_lvl.shape, self.tile_size, self.overlap)
+            shape = mov_pyr[lvl].shape
+            grid = TileGrid.for_image(shape, self.tile_size, self.overlap)
+            pre_warp = lvl != 0
+            whole_image = max(shape) / self.tile_size < 2
 
-            if lvl != 0:
-                with stage_timer(f"lvl{factor} pre-warp"):
-                    mov_this_lvl = warp_tiled_dtype(mov_this_lvl, m_flow, grid, dtype_name)
-                    _profile_sync(mov_this_lvl)
-
-            with stage_timer(f"lvl{factor} dog"):
-                ref_dog = _dog(ref_pyr[lvl], self.use_dog)
-                mov_dog = _dog(mov_this_lvl, self.use_dog)
-                _profile_sync(mov_dog)
-            with stage_timer(f"lvl{factor} flow"):
-                this_flow = self._calc_flow_dev(ref_dog, mov_dog, win_size)
-                _profile_sync(this_flow)
-
-            with stage_timer(f"lvl{factor} warp"):
-                mov_warped = warp_tiled_dtype(mov_this_lvl, this_flow, grid, dtype_name)
-                _profile_sync(mov_warped)
-
-            with stage_timer(f"lvl{factor} mi-gate"):
-                is_higher_similarity = check_if_higher_similarity(
-                    _dog(ref_pyr[lvl], True),
-                    _dog(mov_warped, True),
-                    _dog(mov_pyr[lvl], True),
-                    self.tile_size,
+            with stage_timer(f"lvl{factor} fused level"):
+                this_flow, mi_after, mi_before = _fused_level(
+                    ref_pyr[lvl],
+                    mov_pyr[lvl],
+                    # unused when pre_warp=False: tiny dummy, not a full-size zeros
+                    m_flow if pre_warp else jnp.zeros((1, 1, 2), jnp.float32),
+                    grid, win_size, self.num_iterations, self.use_dog,
+                    self.tile_size, pre_warp, whole_image, dtype_name,
                 )
+                mi_after = float(mi_after)
+                mi_before = float(mi_before)
+            log("    MI score after:", mi_after, "| MI score before:", mi_before)
+            is_higher_similarity = [mi_after > mi_before]
 
             if any(is_higher_similarity):
                 log("    Better alignment than before")
