@@ -62,39 +62,45 @@ def _sigmas() -> np.ndarray:
     )
 
 
-def _blur_hw8(x: jax.Array, sigma: float) -> jax.Array:
-    """Gaussian blur of an (H, W, C) stack along H and W (reflect-101)."""
+def _blur_chw(x: jax.Array, sigma: float) -> jax.Array:
+    """Gaussian blur of a (C, H, W) stack along H and W (reflect-101).
+
+    Shifted-slice FMA passes instead of conv: TPU's conv lowering is
+    pathologically slow for single-channel 1-D kernels (same finding as the
+    Farneback polynomial expansion), and channels-FIRST keeps the 8
+    orientation layers off the 128-lane axis (channels-last (H, W, 8) pads
+    8 -> 128 lanes, a 16x memory and VPU waste).
+    """
     ksize = int(round(sigma * 4)) * 2 + 1
-    k = jnp.asarray(gaussian_kernel(ksize, sigma))
+    k = gaussian_kernel(ksize, sigma)
     r = (ksize - 1) // 2
-    xp = jnp.pad(x, ((r, r), (r, r), (0, 0)), mode="reflect")
-    chans = jnp.moveaxis(xp, -1, 0)  # (C, H', W')
-    lead = chans.shape[:-1]
-    flat = chans.reshape(-1, 1, chans.shape[-1])
-    w = k.reshape(1, 1, ksize).astype(x.dtype)
-    conv = lambda a: jax.lax.conv_general_dilated(
-        a, w, (1,), "VALID", dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    y = conv(flat).reshape(lead + (-1,))
-    y = jnp.swapaxes(y, -1, -2)
-    y = conv(y.reshape(-1, 1, y.shape[-1])).reshape(y.shape[:-1] + (-1,))
-    y = jnp.swapaxes(y, -1, -2)
-    return jnp.moveaxis(y, 0, -1)
+
+    def corr(a, axis):
+        size = a.shape[axis]
+        pad_width = [(0, 0)] * a.ndim
+        pad_width[axis] = (r, r)
+        ap = jnp.pad(a, pad_width, mode="reflect")
+        out = None
+        for i in range(ksize):
+            sl = jax.lax.slice_in_dim(ap, i, i + size, axis=axis) * float(k[i])
+            out = sl if out is None else out + sl
+        return out
+
+    return corr(corr(x, 1), 2)
 
 
 def _orientation_cubes(img: jax.Array) -> jax.Array:
-    """(H, W) image -> (Q_RADIUS, H, W, 8) smoothed rectified gradient layers."""
+    """(H, W) image -> (Q_RADIUS, 8, H, W) smoothed rectified gradient layers."""
     f = img.astype(jnp.float32)
     # slight pre-smoothing stabilizes the gradients (sigma=0.5, as in DAISY)
-    f = _blur_hw8(f[..., None], 0.5)[..., 0]
+    f = _blur_chw(f[None], 0.5)[0]
     fp = jnp.pad(f, 1, mode="reflect")
     gx = (fp[1:-1, 2:] - fp[1:-1, :-2]) * 0.5
     gy = (fp[2:, 1:-1] - fp[:-2, 1:-1]) * 0.5
     thetas = 2.0 * np.pi * np.arange(_Q_HIST) / _Q_HIST
-    cos = jnp.asarray(np.cos(thetas), jnp.float32)
-    sin = jnp.asarray(np.sin(thetas), jnp.float32)
-    layers = jnp.maximum(gx[..., None] * cos + gy[..., None] * sin, 0.0)  # (H, W, 8)
+    cos = jnp.asarray(np.cos(thetas), jnp.float32)[:, None, None]
+    sin = jnp.asarray(np.sin(thetas), jnp.float32)[:, None, None]
+    layers = jnp.maximum(gx[None] * cos + gy[None] * sin, 0.0)  # (8, H, W)
 
     sig = _sigmas()
     cubes = []
@@ -102,33 +108,39 @@ def _orientation_cubes(img: jax.Array) -> jax.Array:
     cur = layers
     for s in sig:
         inc = float(np.sqrt(s * s - prev_sigma * prev_sigma))
-        cur = _blur_hw8(cur, inc)
+        cur = _blur_chw(cur, inc)
         cubes.append(cur)
         prev_sigma = float(s)
-    return jnp.stack(cubes)  # (Q, H, W, 8)
+    return jnp.stack(cubes)  # (Q, 8, H, W)
 
 
 def _bilinear_gather(cube: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
-    """Sample (H, W, 8) at float coords (clamped/replicate) -> (..., 8)."""
-    h, w, _ = cube.shape
+    """Sample (8, H, W) at float coords (clamped/replicate) -> (K, 8).
+
+    One flat take per tap: the (8, H*W) layout makes each tap a contiguous
+    8-channel... row gather along the flattened spatial axis.
+    """
+    c, h, w = cube.shape
+    flat = cube.reshape(c, h * w)
     xs = jnp.clip(xs, 0.0, w - 1.000001)
     ys = jnp.clip(ys, 0.0, h - 1.000001)
     x0 = jnp.floor(xs).astype(jnp.int32)
     y0 = jnp.floor(ys).astype(jnp.int32)
-    tx = (xs - x0)[..., None]
-    ty = (ys - y0)[..., None]
+    tx = (xs - x0)[None]
+    ty = (ys - y0)[None]
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    v00 = cube[y0, x0]
-    v01 = cube[y0, x1]
-    v10 = cube[y1, x0]
-    v11 = cube[y1, x1]
-    return (
+    v00 = jnp.take(flat, y0 * w + x0, axis=1)  # (8, K)
+    v01 = jnp.take(flat, y0 * w + x1, axis=1)
+    v10 = jnp.take(flat, y1 * w + x0, axis=1)
+    v11 = jnp.take(flat, y1 * w + x1, axis=1)
+    out = (
         v00 * (1 - tx) * (1 - ty)
         + v01 * tx * (1 - ty)
         + v10 * (1 - tx) * ty
         + v11 * tx * ty
     )
+    return out.T  # (K, 8)
 
 
 def daisy_at_points(img: jax.Array, coords: jax.Array, normalize: bool = True) -> jax.Array:

@@ -44,11 +44,16 @@ def knn_top2(query: jax.Array, train: jax.Array, q_valid: jax.Array, t_valid: ja
                         precision=jax.lax.Precision.HIGHEST)
         d = qns[:, None] + tn[None, :] - 2.0 * cross + tmask[None, :]
         d = jnp.maximum(d, 0.0)
-        neg_top2, idx = jax.lax.top_k(-d, 2)
-        d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+        # top-2 via three reductions: lax.top_k lowers to a full per-row SORT
+        # on TPU (seconds at 45k train rows); min/argmin/masked-min are plain
+        # VPU sweeps
+        d1 = jnp.min(d, axis=1)
+        i1 = jnp.argmin(d, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        d2 = jnp.min(jnp.where(cols == i1[:, None], _BIG, d), axis=1)
         d1a = jax.lax.dynamic_update_slice_in_dim(d1a, d1, i * chunk, 0)
         d2a = jax.lax.dynamic_update_slice_in_dim(d2a, d2, i * chunk, 0)
-        i1a = jax.lax.dynamic_update_slice_in_dim(i1a, idx[:, 0], i * chunk, 0)
+        i1a = jax.lax.dynamic_update_slice_in_dim(i1a, i1, i * chunk, 0)
         return d1a, d2a, i1a
 
     init = (

@@ -110,22 +110,27 @@ def _ransac_core(src, dst, valid, key, num_hypotheses):
     return final, final_count
 
 
-def estimate_affine_partial_2d(src, dst, valid=None, seed: int = 0):
+def estimate_affine_partial_2d(src, dst, valid=None, seed: int = 0, nvalid_hint=None):
     """Estimate the 2x3 partial-affine matrix mapping src -> dst.
 
     Returns ``(tmat (2,3) float64 numpy, inlier_count int)``; identity and
-    count 0 when fewer than 2 valid pairs are given.
+    count 0 when fewer than 2 valid pairs are given.  ``nvalid_hint`` skips
+    the device round trip when the caller already counted the valid rows.
     """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
     if valid is None:
         valid = jnp.ones(src.shape[0], bool)
     valid = jnp.asarray(valid, bool)
-    nvalid = int(jax.device_get(jnp.sum(valid)))
+    nvalid = (
+        int(nvalid_hint) if nvalid_hint is not None
+        else int(jax.device_get(jnp.sum(valid)))
+    )
     if nvalid < 2:
         return np.eye(2, 3), 0
     key = jax.random.PRNGKey(seed)
     params, count = _ransac_core(src, dst, valid, key, _NUM_HYPOTHESES)
-    a, b, tx, ty = np.asarray(jax.device_get(params), np.float64)
+    params_np, count_np = jax.device_get((params, count))  # one round trip
+    a, b, tx, ty = np.asarray(params_np, np.float64)
     tmat = np.array([[a, -b, tx], [b, a, ty]])
-    return tmat, int(jax.device_get(count))
+    return tmat, int(count_np)

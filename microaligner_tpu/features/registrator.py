@@ -13,6 +13,7 @@ Host control flow drives device compute: gates are host scalars, dense work
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple, Union
 
 import jax
@@ -23,8 +24,8 @@ from microaligner_tpu.utils.logging import log, stage_timer
 
 from microaligner_tpu.features.tile_features import Features, find_features, register_img_pair
 from microaligner_tpu.ops.filters import dog as _dog
-from microaligner_tpu.ops.filters import pyr_down
-from microaligner_tpu.ops.mutual_info import check_if_higher_similarity
+from microaligner_tpu.ops.filters import dog_traced, pyr_down
+from microaligner_tpu.ops.mutual_info import check_if_higher_similarity, mi_tiled_traced
 from microaligner_tpu.ops.warp import affine_warp
 from microaligner_tpu.utils.img_checks import (
     check_img_dims_match,
@@ -33,6 +34,24 @@ from microaligner_tpu.utils.img_checks import (
 )
 
 __all__ = ["FeatureRegistrator"]
+
+
+@functools.partial(jax.jit, static_argnames=("dtype_name",))
+def _cast_like(out: jax.Array, dtype_name: str) -> jax.Array:
+    dt = jnp.dtype(dtype_name)
+    if jnp.issubdtype(dt, jnp.integer):
+        info = jnp.iinfo(dt)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size",))
+def _mi_gate_pair(ref_img, new_img, prev_img, tile_size):
+    """Both NMI gate scores in one launch; only two scalars reach the host."""
+    rd = dog_traced(ref_img, True)
+    after = mi_tiled_traced(rd, dog_traced(new_img, True), tile_size)
+    before = mi_tiled_traced(rd, dog_traced(prev_img, True), tile_size)
+    return after, before
 
 
 class FeatureRegistrator:
@@ -73,7 +92,7 @@ class FeatureRegistrator:
     def calc_ref_img_features(self):
         self._ref_img_pyr, self._factors = self._generate_img_pyr(self._ref_img)
         self._ref_pyr_features = [
-            find_features(self._dog_np(lvl, self.use_dog), self.tile_size)
+            find_features(_dog(lvl, self.use_dog), self.tile_size)
             for lvl in self._ref_img_pyr
         ]
 
@@ -151,32 +170,44 @@ class FeatureRegistrator:
             factors.append(1)
         return pyramid, factors
 
+    def _transform_img_dev(self, img: jax.Array, t_mat: np.ndarray) -> jax.Array:
+        """Device-resident ``transform_img``: same dtype-preserving semantics,
+        no host round trip."""
+        out = affine_warp(jnp.asarray(img).astype(jnp.float32), t_mat)
+        return _cast_like(out, jnp.asarray(img).dtype.name)
+
     def _iterative_alignment(
-        self, ref_img: np.ndarray, ref_features: Features, mov_img: np.ndarray
+        self, ref_img, ref_features: Features, mov_img
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-iteration data (images, DoGs, features) stays device-resident;
+        the host sees only match counts, the 2x3 matrix and two MI scalars
+        per iteration — the reference round-trips numpy everywhere, which
+        costs 25-70 ms per transfer over the tunneled dev backend."""
         if self.num_iterations < 1:
             raise ValueError("Number of iterations cannot be less than 1")
         t_matrices: List[np.ndarray] = []
-        aligned_img = mov_img.copy()
+        mov_dev = jnp.asarray(mov_img)
+        ref_dev = jnp.asarray(ref_img)
+        aligned_img = mov_dev
         for i in range(self.num_iterations):
             log("    Iteration", i + 1, "/", self.num_iterations)
             mov_img_aligned, est_t_mat = self._align_imgs(ref_features, aligned_img)
 
-            is_more_similar = check_if_higher_similarity(
-                self._dog_np(ref_img, True),
-                self._dog_np(mov_img_aligned, True),
-                self._dog_np(aligned_img, True),
-                self.tile_size,
+            mi_after, mi_before = _mi_gate_pair(
+                ref_dev, jnp.asarray(mov_img_aligned), aligned_img, self.tile_size
             )
-            is_valid = self._check_if_valid_transform(est_t_mat, mov_img.shape)
+            mi_after, mi_before = jax.device_get((mi_after, mi_before))
+            log("    MI score after:", float(mi_after), "| MI score before:", float(mi_before))
+            is_more_similar = [float(mi_after) > float(mi_before)]
+            is_valid = self._check_if_valid_transform(est_t_mat, mov_dev.shape)
 
             if any(is_more_similar) and is_valid:
                 log("    Better alignment than before")
                 t_matrices.append(est_t_mat)
                 # realign from the ORIGINAL mov with the composed matrix
                 # (feature_registrator.py:186) to avoid resampling build-up
-                aligned_img = self.transform_img(
-                    mov_img, self._multiply_transform_matrices(t_matrices)
+                aligned_img = self._transform_img_dev(
+                    mov_dev, self._multiply_transform_matrices(t_matrices)
                 )
             else:
                 log("    Worse alignment than before")
@@ -184,17 +215,19 @@ class FeatureRegistrator:
         return aligned_img, self._multiply_transform_matrices(t_matrices)
 
     def _align_imgs(
-        self, ref: Union[np.ndarray, Features], mov_img: np.ndarray
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        self, ref: Union[np.ndarray, Features], mov_img
+    ) -> Tuple[jax.Array, np.ndarray]:
         if not isinstance(ref, Features):
-            ref_features = find_features(self._dog_np(ref, self.use_dog), self.tile_size)
+            ref_features = find_features(_dog(ref, self.use_dog), self.tile_size)
         else:
             ref_features = ref
-        mov_features = find_features(self._dog_np(mov_img, self.use_dog), self.tile_size)
+        mov_features = find_features(
+            dog_traced(jnp.asarray(mov_img), self.use_dog), self.tile_size
+        )
         transform_mat = register_img_pair(ref_features, mov_features)
         if np.array_equal(transform_mat, np.eye(2, 3)):
-            return mov_img, np.eye(2, 3)
-        return self.transform_img(mov_img, transform_mat), transform_mat
+            return jnp.asarray(mov_img), np.eye(2, 3)
+        return self._transform_img_dev(mov_img, transform_mat), transform_mat
 
     @staticmethod
     def _multiply_transform_matrices(mat_list: List[np.ndarray]) -> np.ndarray:

@@ -45,15 +45,20 @@ class Features:
         self.descriptors = descriptors
         self.valid = valid
         self.responses = responses
+        self._num_valid = None  # cached: one device round trip per Features
 
     def is_valid(self) -> bool:
         if self.coords is None or self.descriptors is None:
             return False
-        return int(np.sum(np.asarray(self.valid))) >= 3
+        return self.num_valid >= 3
 
     @property
     def num_valid(self) -> int:
-        return 0 if self.valid is None else int(np.sum(np.asarray(self.valid)))
+        if self.valid is None:
+            return 0
+        if self._num_valid is None:
+            self._num_valid = int(np.sum(np.asarray(self.valid)))
+        return self._num_valid
 
 
 def _find_features_tiled(img: jax.Array, grid: TileGrid, k_per_tile: int):
@@ -114,28 +119,38 @@ def find_features(img, tile_size: int) -> Features:
     return Features(coords, desc, valid, resp)
 
 
+@jax.jit
+def _match_counts_and_pairs(ref_desc, mov_desc, ref_valid, mov_valid, ref_coords):
+    """Device-side matching: good mask, per-match ref coords, and the two
+    scalar counts the host needs for its branch/logging."""
+    good, ref_idx = match_descriptors(ref_desc, mov_desc, ref_valid, mov_valid)
+    dst = jnp.take(ref_coords, ref_idx, axis=0)
+    return good, dst, jnp.sum(good), jnp.sum(mov_valid)
+
+
 def match_features(ref_features: Features, mov_features: Features, seed: int = 0):
     """Transform matrix mov -> ref from matched features
-    (reference feature_detection.py:121-158)."""
+    (reference feature_detection.py:121-158).
+
+    All heavy data (descriptors, coords, match masks) stays on device; only
+    two count scalars and the fitted 2x3 matrix cross to the host.
+    """
     if not ref_features.is_valid() or not mov_features.is_valid():
         return np.eye(2, 3)
-    good, ref_idx = match_descriptors(
+    good, dst, n_good_dev, n_total_dev = _match_counts_and_pairs(
         ref_features.descriptors,
         mov_features.descriptors,
         ref_features.valid,
         mov_features.valid,
+        ref_features.coords,
     )
-    good_np = np.asarray(jax.device_get(good))
-    n_good = int(good_np.sum())
-    n_total = int(np.sum(np.asarray(jax.device_get(mov_features.valid))))
-    log("    Good matches", n_good, "/", n_total)
+    n_good = int(jax.device_get(n_good_dev))
+    log("    Good matches", n_good, "/", int(jax.device_get(n_total_dev)))
     if n_good < 3:
         return np.eye(2, 3)
-    src = np.asarray(jax.device_get(mov_features.coords))  # from: mov
-    dst = np.asarray(jax.device_get(ref_features.coords))[
-        np.asarray(jax.device_get(ref_idx))
-    ]  # to: ref
-    tmat, _ = estimate_affine_partial_2d(src, dst, valid=good_np, seed=seed)
+    tmat, _ = estimate_affine_partial_2d(
+        mov_features.coords, dst, valid=good, seed=seed, nvalid_hint=n_good
+    )
     return tmat
 
 

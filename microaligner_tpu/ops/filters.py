@@ -148,6 +148,20 @@ def _dog_core_u8(img: jax.Array, low_sigma: int, high_sigma: int) -> jax.Array:
     return jnp.where(jnp.max(img) == 0, img, _dog_core(img, low_sigma, high_sigma))
 
 
+def dog_traced(img, use_it: bool = True, low_sigma: int = 5, high_sigma: int = 9):
+    """``dog`` usable under an outer jit trace: no host zero-check round trip.
+
+    u8 inputs keep the zero-image early-return on device; other dtypes take
+    the processed path unconditionally (an all-zero non-u8 image is a
+    degenerate case whose MI gate behaves identically either way).
+    """
+    if not use_it:
+        return img
+    if img.dtype == jnp.uint8:
+        return _dog_core_u8(img, low_sigma, high_sigma)
+    return _dog_core(img, low_sigma, high_sigma)
+
+
 def dog(img, use_it: bool = True, low_sigma: int = 5, high_sigma: int = 9):
     """Difference-of-Gaussians preprocessing.
 

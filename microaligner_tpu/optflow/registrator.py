@@ -63,13 +63,9 @@ def merge_two_flows(flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
 
 def _dog_traced(img, use_it: bool):
     """dog() usable under an outer trace (no host zero-check round trip)."""
-    from microaligner_tpu.ops.filters import _dog_core, _dog_core_u8
+    from microaligner_tpu.ops.filters import dog_traced
 
-    if not use_it:
-        return img
-    if img.dtype == jnp.uint8:
-        return _dog_core_u8(img, 5, 9)
-    return _dog_core(img, 5, 9)
+    return dog_traced(img, use_it)
 
 
 @functools.partial(
