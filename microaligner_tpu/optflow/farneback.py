@@ -129,6 +129,68 @@ def poly_exp(img: jax.Array, n: int = 1, sigma: float = 1.7) -> jax.Array:
     return jnp.moveaxis(_poly_exp_cf(img, n, sigma), 0, -1)
 
 
+_PALLAS_POLY_OK: bool | None = None
+
+
+def _pallas_poly_available() -> bool:
+    """Static gate for the fused Mosaic poly-expansion kernel (poly_n=1)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    global _PALLAS_POLY_OK
+    if _PALLAS_POLY_OK is None:
+        from microaligner_tpu.utils.selftest import run_outside_trace
+
+        _PALLAS_POLY_OK = run_outside_trace(_pallas_poly_self_test_body)
+    return _PALLAS_POLY_OK
+
+
+def _pallas_poly_self_test_body() -> bool:
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 70, 320)) * 255, jnp.float32)
+    got = np.asarray(_poly_exp_batched_pallas(imgs, 1, 1.7))
+    want = np.asarray(
+        jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(imgs)
+    )
+    return bool(np.allclose(got, want, atol=1e-3))
+
+
+def _poly_coeff_tuple(n: int, sigma: float):
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_coeffs(n, float(sigma))
+    return (
+        float(g[0]), float(g[1]), float(xg[2]), float(xxg[2]),
+        ig11, ig03, ig33, ig55,
+    )
+
+
+def _poly_exp_batched_pallas(imgs: jax.Array, n: int, sigma: float) -> jax.Array:
+    """(N, H, W) -> (N, 5, H, W): XLA pre-smooth + fused Mosaic 3x3 moments."""
+    from microaligner_tpu.ops.pallas_poly import pallas_poly_exp5
+
+    s = jax.vmap(_pre_smooth)(imgs)
+    sp = jnp.pad(s, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    return pallas_poly_exp5(sp, _poly_coeff_tuple(n, sigma))
+
+
+def _poly_exp_batched(imgs: jax.Array, n: int, sigma: float) -> jax.Array:
+    """Batched pre-smooth + polynomial expansion.
+
+    The Mosaic-fused kernel (ops/pallas_poly.py) is correct on v5e
+    (self-tested) but measured SLOWER than the XLA shifted-slice form
+    (17 ms vs 10 ms per 25x1200² batch — the 3-tap stencils fuse well under
+    XLA and the kernel double-fetches its row halo), so XLA stays the
+    default; set MICROALIGNER_TPU_PALLAS_POLY=1 to experiment.
+    """
+    import os
+
+    if (
+        n == 1
+        and os.environ.get("MICROALIGNER_TPU_PALLAS_POLY") == "1"
+        and _pallas_poly_available()
+    ):
+        return _poly_exp_batched_pallas(imgs, n, sigma)
+    return jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), n, sigma))(imgs)
+
+
 # Displacement band (pixels) covered by the fast sampling path.  Per-level
 # flows after pyramid warping are typically <= 2-3 px; larger flows trigger a
 # runtime fallback to the exact gather path, so results are always exact.
@@ -619,9 +681,8 @@ def _farneback_core_batched(
     """
     if num_iter < 1:
         raise ValueError(f"farneback requires num_iter >= 1, got {num_iter}")
-    pe = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), poly_n, poly_sigma))
-    r0 = pe(movs)
-    r1 = pe(refs)
+    r0 = _poly_exp_batched(movs, poly_n, poly_sigma)
+    r1 = _poly_exp_batched(refs, poly_n, poly_sigma)
     m = jax.vmap(_update_matrices_zero_flow_cf)(r0, r1)
     fx = fy = None
     for i in range(num_iter):
