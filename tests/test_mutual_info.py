@@ -61,3 +61,23 @@ class TestMiTiled:
         rand = rng.integers(0, 256, size=(40, 40)).astype(np.uint8)
         assert MI.check_if_higher_similarity(ref, noisy, rand, 1000) == [True]
         assert MI.check_if_higher_similarity(ref, rand, noisy, 1000) == [False]
+
+
+def test_mi_tiled_traced_matches_host(rng):
+    """The fused-gate traced NMI must equal the host chunked version."""
+    import jax
+    import jax.numpy as jnp
+
+    from microaligner_tpu.ops.mutual_info import mi_tiled, mi_tiled_traced
+
+    a = (rng.random((260, 300)) * 255).astype("uint8")
+    b = (rng.random((260, 300)) * 255).astype("uint8")
+    want = mi_tiled(a, b, 100)
+    got = float(jax.jit(lambda x, y: mi_tiled_traced(x, y, 100))(
+        jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - want) < 1e-6
+    # whole-image gating branch
+    want2 = mi_tiled(a, b, 1000)
+    got2 = float(jax.jit(lambda x, y: mi_tiled_traced(x, y, 1000))(
+        jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got2 - want2) < 1e-6
