@@ -33,6 +33,7 @@ __all__ = ["Warper", "warp_tiled"]
 
 
 _TILE_BATCH = 32  # bounds live tile working set for the apply phase
+_SHIFT_MARGIN = 128  # canvas slack for dc-shifted compose windows (px)
 
 
 def _warp_tiled_impl(image: jax.Array, flow: jax.Array, grid: TileGrid, out_dtype_name: str) -> jax.Array:
@@ -106,32 +107,114 @@ def compose_flows_tiled(flow1: jax.Array, flow2: jax.Array, grid: TileGrid) -> j
 
 @functools.partial(jax.jit, static_argnames=("grid", "mesh"))
 def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
-    # both flows' halo windows come from 1x canvases per chunk (the per-tile
-    # zero-max shortcuts of merge_two_flows are computed over the full halo
-    # tile, exactly like the reference, so f1 windows are needed too)
-    from microaligner_tpu.ops.warp import compose_flows_batched
+    """Windowed composition: fast for ARBITRARY flow magnitudes.
 
+    ``merged(p) = f1(p) + f2(p - f1(p))`` (the Warper's pull convention)
+    with f2 read per halo tile and zeros outside it, exactly like the
+    reference's per-tile ``merge_two_flows`` with its intended meshgrid.
+    Accumulated pyramid flows reach tens of pixels, so sampling f2 at
+    ``p - f1`` directly would always exceed the banded sampler's contract
+    and fall back to the ~50x slower exact gather.
+    Instead each tile's f2 window is fetched DISPLACED by the rounded mean
+    interior flow (a device-computed dynamic_slice start — a block copy);
+    the residual ``f1 - dc`` is small for smooth flows, so the banded Pallas
+    sampler applies.  Reference semantics are preserved exactly:
+
+    * samples landing outside the tile's ORIGINAL halo extent are zeroed by
+      an explicit mask (the shifted window may cover ground the reference's
+      per-tile remap could not see);
+    * the per-tile ``max() == 0`` shortcuts are evaluated on the full
+      (unshifted) halo tiles;
+    * residuals that still exceed the band trigger the sampler's own exact
+      fallback within the shifted window — correct because the mask, not
+      window extent, enforces the zero-outside contract for in-window taps,
+      and out-of-window taps can only occur for pixels the mask zeroes
+      (|residual| > band  =>  |f1 - dc| > overlap - band is impossible when
+      dc keeps the window inside the canvas... such pixels read 0 from the
+      window's canvas padding or are masked).
+    """
+    from microaligner_tpu.ops.warp import sample_displaced_batched
+
+    # extra margin beyond the halo so dc-shifted windows stay inside the
+    # canvas for flows up to ~±_SHIFT_MARGIN px (the margin content is only
+    # ever read where the in_orig mask zeroes it, so zeros are correct)
+    M = _SHIFT_MARGIN
     c1x = pad_canvas(flow1[..., 0], grid)
     c1y = pad_canvas(flow1[..., 1], grid)
-    c2x = pad_canvas(flow2[..., 0], grid)
-    c2y = pad_canvas(flow2[..., 1], grid)
+    c2x = jnp.pad(pad_canvas(flow2[..., 0], grid), ((M, M), (M, M)))
+    c2y = jnp.pad(pad_canvas(flow2[..., 1], grid), ((M, M), (M, M)))
     origins = jnp.asarray(tile_origins(grid))
     win_h, win_w = grid.tile_shape
     o = grid.overlap
+    ch, cw = c2x.shape  # shifted-window canvas dims (with margin)
 
     def compose_chunk(orig, c1x_, c1y_, c2x_, c2y_):
-        def wins(c):
+        def wins_at(c, starts):
             return jax.lax.map(
-                lambda p: jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w)),
-                orig,
+                lambda s: jax.lax.dynamic_slice(c, (s[0], s[1]), (win_h, win_w)),
+                starts,
             )
 
-        merged = compose_flows_batched(
-            jnp.stack([wins(c1x_), wins(c1y_)], axis=-1),
-            jnp.stack([wins(c2x_), wins(c2y_)], axis=-1),
+        f1xw = wins_at(c1x_, orig)  # (B, win, win) full halo tiles of f1
+        f1yw = wins_at(c1y_, orig)
+
+        # per-tile integer displacement from the mean interior SAMPLING
+        # offset (-f1: the composition pulls f2 from p - f1), clamped so the
+        # shifted window stays inside the canvas
+        f1x_int = f1xw[:, o : o + grid.tile_h, o : o + grid.tile_w]
+        f1y_int = f1yw[:, o : o + grid.tile_h, o : o + grid.tile_w]
+        dcx = jnp.round(jnp.mean(-f1x_int, axis=(1, 2))).astype(jnp.int32)
+        dcy = jnp.round(jnp.mean(-f1y_int, axis=(1, 2))).astype(jnp.int32)
+        # f2's canvas carries the extra _SHIFT_MARGIN: origins shift by M
+        sy = jnp.clip(orig[:, 0] + M + dcy, 0, ch - win_h)
+        sx = jnp.clip(orig[:, 1] + M + dcx, 0, cw - win_w)
+        adcy = (sy - orig[:, 0] - M).astype(jnp.float32)  # shift after clamp
+        adcx = (sx - orig[:, 1] - M).astype(jnp.float32)
+
+        swins = jnp.stack([sy, sx], axis=-1)
+        f2xw = wins_at(c2x_, swins)
+        f2yw = wins_at(c2y_, swins)
+
+        # zero the shifted window's cells that lie OUTSIDE the tile's
+        # original halo extent: cell w sits at original-window coordinate
+        # w + adc, and the reference's per-tile remap reads zeros there.
+        # With the content zeroed, bilinear border blending matches the
+        # unshifted semantics exactly; in-band residual taps never reach the
+        # shifted window's own edges (margin = overlap - band >= 1).
+        wxi = jax.lax.broadcasted_iota(jnp.float32, (win_h, win_w), 1)[None]
+        wyi = jax.lax.broadcasted_iota(jnp.float32, (win_h, win_w), 0)[None]
+        ox_ = wxi + adcx[:, None, None]
+        oy_ = wyi + adcy[:, None, None]
+        in_orig = (ox_ >= 0) & (ox_ < win_w) & (oy_ >= 0) & (oy_ < win_h)
+        f2xw = jnp.where(in_orig, f2xw, 0.0)
+        f2yw = jnp.where(in_orig, f2yw, 0.0)
+
+        # residual sampling field over the window: total offset -f1 minus the
+        # window shift (halo residuals come from the full f1 window so halo
+        # outputs are well-defined pre-crop)
+        rx = -f1xw - adcx[:, None, None]
+        ry = -f1yw - adcy[:, None, None]
+        rflow = jnp.stack([rx, ry], axis=-1)
+        sx2 = sample_displaced_batched(f2xw[..., None], rflow)[..., 0]
+        sy2 = sample_displaced_batched(f2yw[..., None], rflow)[..., 0]
+
+        mx_ = f1xw + sx2
+        my_ = f1yw + sy2
+
+        # reference merge_two_flows short-circuits on all-non-positive tiles
+        f1_zero = (jnp.maximum(jnp.max(f1xw, axis=(1, 2)), jnp.max(f1yw, axis=(1, 2))) == 0)[:, None, None]
+        # f2 zero-shortcut uses the UNSHIFTED tile, matching the reference
+        orig_m = orig + M
+        f2xw0 = wins_at(c2x_, orig_m)
+        f2yw0 = wins_at(c2y_, orig_m)
+        f2_zero = (jnp.maximum(jnp.max(f2xw0, axis=(1, 2)), jnp.max(f2yw0, axis=(1, 2))) == 0)[:, None, None]
+        mx_ = jnp.where(f1_zero, f2xw0, jnp.where(f2_zero, f1xw, mx_))
+        my_ = jnp.where(f1_zero, f2yw0, jnp.where(f2_zero, f1yw, my_))
+
+        return (
+            mx_[:, o : o + grid.tile_h, o : o + grid.tile_w],
+            my_[:, o : o + grid.tile_h, o : o + grid.tile_w],
         )
-        interior = merged[:, o : o + grid.tile_h, o : o + grid.tile_w]
-        return interior[..., 0], interior[..., 1]
 
     mx, my = tile_map(
         compose_chunk,
