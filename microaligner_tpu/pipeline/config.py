@@ -1,18 +1,23 @@
 """YAML pipeline configuration with the reference's exact schema.
 
 Schema, field names, dtype checks, bounds, and input-topology inference all
-match config_reader.py (reference): three input layouts (``CycleStack`` /
-``CycleBuilder`` / ``CyclePerImage``), bounds NumberPyramidLevels 0..8,
-NumberIterationsPerLevel >=1, TileSize >=20, Overlap 10..TileSize,
-NumberOfWorkers >=0 (accepted for config compatibility; tile parallelism maps
-to the device mesh instead of a worker pool).
+match the reference (pipeline_modules/config_reader.py): three input layouts
+(``CycleStack`` / ``CycleBuilder`` / ``CyclePerImage``), bounds
+NumberPyramidLevels 0..8, NumberIterationsPerLevel >=1, TileSize >=20,
+Overlap 10..TileSize, NumberOfWorkers >=0 (accepted for config compatibility;
+tile parallelism maps to the device mesh instead of a worker pool).
+
+The implementation is table-driven: each section is a tuple of field specs
+``(name, accepted types, lo, hi)`` validated by one generic checker, and the
+input-topology inference + path parsing happen in a single traversal — unlike
+the reference's per-field call chains.
 """
 
 from __future__ import annotations
 
 import re
 from pathlib import Path
-from typing import Dict, Iterable, Optional, Union
+from typing import Dict, Optional, Tuple, Union
 
 import yaml
 
@@ -20,32 +25,60 @@ __all__ = ["PipelineConfig", "PipelineConfigReader", "RegParam"]
 
 FloatInt = Union[float, int]
 
+# Field spec: (name, accepted type(s), min, max).  ``max`` may name another
+# field in the same section (resolved at validation time) — used by
+# Overlap <= TileSize.
+_Spec = Tuple[str, tuple, Optional[FloatInt], Union[FloatInt, str, None]]
+
+_REG_PARAM_SPECS: Tuple[_Spec, ...] = (
+    ("NumberPyramidLevels", (int,), 0, 8),
+    ("NumberIterationsPerLevel", (int,), 1, None),
+    ("TileSize", (int,), 20, None),
+    ("Overlap", (int,), 10, "TileSize"),
+    ("NumberOfWorkers", (int,), 0, None),
+    ("UseFullResImage", (bool,), None, None),
+    ("UseDOG", (bool,), None, None),
+)
+
+_INPUT_SPECS: Tuple[_Spec, ...] = (
+    ("InputImagePaths", (dict, list), None, None),
+    ("ReferenceCycle", (int,), 1, None),
+    ("ReferenceChannel", (str,), None, None),
+)
+
+_OUTPUT_SPECS: Tuple[_Spec, ...] = (
+    ("OutputDir", (str,), None, None),
+    ("OutputPrefix", (str,), None, None),
+    ("SaveOutputToCycleStack", (bool,), None, None),
+)
+
+_CYCLE_KEY = re.compile(r"Cycle (\d+)")
+
 
 def read_yaml(path) -> dict:
     with open(path, "r", encoding="utf-8") as s:
         return yaml.safe_load(s)
 
 
-def check_field_dtype(field_name: str, dtype, obj: dict):
-    dtypes = dtype if isinstance(dtype, tuple) else (dtype,)
-    if field_name not in obj:
-        raise KeyError(f"config is missing required field '{field_name}'")
-    if not any(isinstance(obj[field_name], d) for d in dtypes):
-        raise TypeError(
-            f"config field '{field_name}': got {type(obj[field_name]).__name__}, "
-            f"expected one of {[d.__name__ for d in dtypes]}"
-        )
-
-
-def check_field_min_max(field_name: str, _min: Optional[FloatInt], _max: Optional[FloatInt], obj: dict):
-    if field_name not in obj:
-        raise KeyError(f"config is missing required field '{field_name}'")
-    val = obj[field_name]
-    if isinstance(val, (int, float)):
-        if _min is not None and val < _min:
-            raise ValueError(f"config field '{field_name}'={val} is below the minimum of {_min}")
-        if _max is not None and val > _max:
-            raise ValueError(f"config field '{field_name}'={val} is above the maximum of {_max}")
+def _validate_section(section: dict, specs: Tuple[_Spec, ...]):
+    """Presence + dtype + range for every field spec, in one pass."""
+    for name, types, lo, hi in specs:
+        if name not in section:
+            raise KeyError(f"config is missing required field '{name}'")
+        val = section[name]
+        if not isinstance(val, types):
+            raise TypeError(
+                f"config field '{name}': got {type(val).__name__}, "
+                f"expected one of {[t.__name__ for t in types]}"
+            )
+        if not isinstance(val, (int, float)):
+            continue
+        if isinstance(hi, str):  # bound given by a sibling field
+            hi = section.get(hi)
+        if lo is not None and val < lo:
+            raise ValueError(f"config field '{name}'={val} is below the minimum of {lo}")
+        if hi is not None and val > hi:
+            raise ValueError(f"config field '{name}'={val} is above the maximum of {hi}")
 
 
 class RegParam:
@@ -58,21 +91,9 @@ class RegParam:
     UseDOG: bool
 
     def read_from_dict(self, d: dict):
-        check_field_dtype("NumberPyramidLevels", int, d)
-        check_field_dtype("NumberIterationsPerLevel", int, d)
-        check_field_dtype("TileSize", int, d)
-        check_field_dtype("Overlap", int, d)
-        check_field_dtype("NumberOfWorkers", int, d)
-        check_field_dtype("UseFullResImage", bool, d)
-        check_field_dtype("UseDOG", bool, d)
-        check_field_min_max("NumberPyramidLevels", 0, 8, d)
-        check_field_min_max("NumberIterationsPerLevel", 1, None, d)
-        check_field_min_max("TileSize", 20, None, d)
-        check_field_min_max("Overlap", 10, d["TileSize"], d)
-        check_field_min_max("NumberOfWorkers", 0, None, d)
-        for k in ("NumberPyramidLevels", "NumberIterationsPerLevel", "TileSize",
-                  "Overlap", "NumberOfWorkers", "UseFullResImage", "UseDOG"):
-            setattr(self, k, d[k])
+        _validate_section(d, _REG_PARAM_SPECS)
+        for name, *_ in _REG_PARAM_SPECS:
+            setattr(self, name, d[name])
 
     def __repr__(self):
         return str(self.__dict__)
@@ -119,6 +140,55 @@ class PipelineConfig:
         return str(self.__dict__)
 
 
+def _cycle_id(key: str) -> int:
+    m = _CYCLE_KEY.match(key)
+    if not m:
+        raise ValueError(f"bad cycle key {key!r}: expected the form 'Cycle <number>'")
+    return int(m.group(1))
+
+
+def _parse_input_paths(path_dict: dict) -> Tuple[str, Dict]:
+    """Infer the input topology AND build the parsed path mapping in one
+    traversal (reference splits this into get_path_dict_type + a second walk).
+
+    Returns ``(topology, {cycle_id: Path | {channel: Path}})``.
+    """
+    if "CycleStack" in path_dict:
+        if len(path_dict) > 1:
+            raise ValueError("a CycleStack input is a single stack file; remove the extra paths")
+        return "CycleStack", {0: Path(path_dict["CycleStack"])}
+
+    per_channel: Dict[int, Dict[str, Path]] = {}
+    per_cycle: Dict[int, Path] = {}
+    unknown = []
+    for key, val in path_dict.items():
+        if isinstance(val, dict):
+            cyc = _cycle_id(key)
+            channels = list(val.keys())
+            if len(channels) > len(set(channels)):
+                raise ValueError(f"duplicate channel names under Cycle {cyc}: {channels}")
+            per_channel[cyc] = {ch: Path(p) for ch, p in val.items()}
+        elif isinstance(val, str):
+            per_cycle[_cycle_id(key)] = Path(val)
+        else:
+            unknown.append(key)
+
+    if per_channel and per_cycle:
+        raise NotImplementedError(
+            "InputImagePaths mixes per-channel and per-cycle entries; pick one layout"
+        )
+    if not per_channel and not per_cycle:
+        raise ValueError(
+            "InputImagePaths matches none of the known layouts "
+            "(CycleStack / CycleBuilder / CyclePerImage)"
+        )
+    if max(len(per_channel), len(per_cycle)) < 2:
+        raise ValueError("registration needs at least two cycles in InputImagePaths")
+    if per_channel:
+        return "CycleBuilder", per_channel
+    return "CyclePerImage", per_cycle
+
+
 class PipelineConfigReader:
     """Reads and validates the pipeline YAML (reference config_reader.py:149-304)."""
 
@@ -126,94 +196,34 @@ class PipelineConfigReader:
         config = read_yaml(config_path)
         missing = [f for f in ("Input", "Output", "RegistrationParameters") if f not in config]
         if missing:
-            raise ValueError(
-                f"config file lacks required top-level sections: {missing}"
-            )
+            raise ValueError(f"config file lacks required top-level sections: {missing}")
+
         pc = PipelineConfig()
-        self._parse_input(config["Input"], pc.Input)
-        self._parse_output(config["Output"], pc.Output)
-        self._parse_reg_param(config["RegistrationParameters"], pc.RegistrationParameters)
-        return pc
 
-    def _parse_input(self, input_dict: dict, out: PipelineInput):
-        if not isinstance(input_dict, dict):
+        inp = config["Input"]
+        if not isinstance(inp, dict):
             raise ValueError("the Input section must be a mapping")
-        check_field_dtype("InputImagePaths", (dict, list), input_dict)
-        check_field_dtype("ReferenceCycle", int, input_dict)
-        check_field_dtype("ReferenceChannel", str, input_dict)
-        check_field_min_max("ReferenceCycle", 1, None, input_dict)
+        _validate_section(inp, _INPUT_SPECS)
+        topology, parsed_paths = _parse_input_paths(inp["InputImagePaths"])
+        pc.Input.InputImagePaths = parsed_paths
+        pc.Input.ReferenceCycle = inp["ReferenceCycle"]
+        pc.Input.ReferenceChannel = inp["ReferenceChannel"]
+        pc.Input.PipelineInputType = topology
 
-        path_dict = input_dict["InputImagePaths"]
-        path_dict_type = self.get_path_dict_type(path_dict)
-        out.InputImagePaths = self.parse_path_dict(path_dict, path_dict_type)
-        out.ReferenceCycle = input_dict["ReferenceCycle"]
-        out.ReferenceChannel = input_dict["ReferenceChannel"]
-        out.PipelineInputType = path_dict_type
+        outp = config["Output"]
+        _validate_section(outp, _OUTPUT_SPECS)
+        pc.Output.OutputDir = Path(outp["OutputDir"])
+        pc.Output.OutputPrefix = outp["OutputPrefix"]
+        pc.Output.SaveOutputToCycleStack = outp["SaveOutputToCycleStack"]
 
-    @staticmethod
-    def parse_path_dict(path_dict: dict, path_dict_type: str) -> Dict:
-        proc: Dict = {}
-        cyc_pat = re.compile(r"Cycle \d+")
-        if path_dict_type == "CycleBuilder":
-            for cyc_name, chans in path_dict.items():
-                if not cyc_pat.match(cyc_name):
-                    raise ValueError(f"bad cycle key {cyc_name!r}: expected the form 'Cycle <number>'")
-                cyc_id = int(re.search(r"(\d+)", cyc_name).groups()[0])
-                ch_list = list(chans.keys())
-                if len(ch_list) > len(set(ch_list)):
-                    raise ValueError(f"duplicate channel names under Cycle {cyc_id}: {ch_list}")
-                proc[cyc_id] = {ch: Path(p) for ch, p in chans.items()}
-        elif path_dict_type == "CycleStack":
-            proc[0] = Path(path_dict["CycleStack"])
-        else:
-            for cyc_name, p in path_dict.items():
-                if not cyc_pat.match(cyc_name):
-                    raise ValueError(f"bad cycle key {cyc_name!r}: expected the form 'Cycle <number>'")
-                cyc_id = int(re.search(r"(\d+)", cyc_name).groups()[0])
-                proc[cyc_id] = Path(p)
-        return proc
-
-    def _parse_output(self, output_dict: dict, out: PipelineOutput):
-        check_field_dtype("OutputDir", str, output_dict)
-        check_field_dtype("OutputPrefix", str, output_dict)
-        check_field_dtype("SaveOutputToCycleStack", bool, output_dict)
-        out.OutputDir = Path(output_dict["OutputDir"])
-        out.OutputPrefix = output_dict["OutputPrefix"]
-        out.SaveOutputToCycleStack = output_dict["SaveOutputToCycleStack"]
-
-    def _parse_reg_param(self, reg_dict: dict, out: PipelineRegParam):
-        if "FeatureReg" not in reg_dict and "OptFlowReg" not in reg_dict:
-            raise ValueError(
-                "RegistrationParameters must define FeatureReg, OptFlowReg, or both"
-            )
-        if "FeatureReg" in reg_dict:
-            check_field_dtype("FeatureReg", dict, reg_dict)
-            out.FeatureReg.read_from_dict(reg_dict["FeatureReg"])
-        else:
-            out.FeatureReg = None
-        if "OptFlowReg" in reg_dict:
-            check_field_dtype("OptFlowReg", dict, reg_dict)
-            out.OptFlowReg.read_from_dict(reg_dict["OptFlowReg"])
-        else:
-            out.OptFlowReg = None
-
-    @staticmethod
-    def get_path_dict_type(path_dict: dict) -> str:
-        if "CycleStack" in path_dict:
-            if len(path_dict) > 1:
-                raise ValueError("a CycleStack input is a single stack file; remove the extra paths")
-            return "CycleStack"
-        num_dict = sum(isinstance(v, dict) for v in path_dict.values())
-        num_str = sum(isinstance(v, str) for v in path_dict.values())
-        if num_dict > 0 and num_str > 0:
-            raise NotImplementedError("InputImagePaths mixes per-channel and per-cycle entries; pick one layout")
-        if num_dict == 0 and num_str == 0:
-            raise ValueError(
-                "InputImagePaths matches none of the known layouts "
-                "(CycleStack / CycleBuilder / CyclePerImage)"
-            )
-        if num_dict < 2 and num_str < 2:
-            raise ValueError(
-                "registration needs at least two cycles in InputImagePaths"
-            )
-        return "CycleBuilder" if num_dict > 0 else "CyclePerImage"
+        reg = config["RegistrationParameters"]
+        if "FeatureReg" not in reg and "OptFlowReg" not in reg:
+            raise ValueError("RegistrationParameters must define FeatureReg, OptFlowReg, or both")
+        for engine in ("FeatureReg", "OptFlowReg"):
+            if engine in reg:
+                if not isinstance(reg[engine], dict):
+                    raise TypeError(f"config field '{engine}': expected a mapping")
+                getattr(pc.RegistrationParameters, engine).read_from_dict(reg[engine])
+            else:
+                setattr(pc.RegistrationParameters, engine, None)
+        return pc

@@ -16,6 +16,7 @@ from microaligner_tpu.tiles.slicer import (
     tile_origins,
 )
 from microaligner_tpu.tiles.compat import (
+    get_slices,
     get_tile,
     split_image_into_tiles_of_size,
     stitch_image,
@@ -29,6 +30,7 @@ __all__ = [
     "tile_origins",
     "split_interiors",
     "stitch_interiors",
+    "get_slices",
     "get_tile",
     "split_image_into_tiles_of_size",
     "stitch_image",

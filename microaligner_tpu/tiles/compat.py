@@ -16,7 +16,38 @@ import numpy as np
 
 from microaligner_tpu.tiles.slicer import TileGrid, split_into_tiles, stitch_tiles
 
-__all__ = ["split_image_into_tiles_of_size", "stitch_image", "get_tile"]
+__all__ = ["split_image_into_tiles_of_size", "stitch_image", "get_tile", "get_slices"]
+
+
+def get_slices(
+    big_image, hor_f: int, hor_t: int, ver_f: int, ver_t: int, padding: Dict, overlap: int = 0
+) -> Tuple[Tuple[slice, ...], Tuple[slice, ...]]:
+    """(canvas_slice, tile_slice) pair for pasting one tile interior into a
+    stitched canvas (reference stitcher.py:25-69).
+
+    Kept quirk-compatible: a nonzero ``padding['top']/['left']`` shifts the
+    tile-slice *start* without shrinking its stop (the reference computes the
+    stop from the clamped canvas extent) — harmless in practice because the
+    reference's slicer always emits zero left/top padding.
+    """
+    h, w = int(big_image.shape[0]), int(big_image.shape[1])
+    tp = max(0, padding["top"] - ver_f)
+    lp = max(0, padding["left"] - hor_f)
+    if tp > 0:
+        ver_f = 0
+    if lp > 0:
+        hor_f = 0
+    ver_t = min(ver_t, h)
+    hor_t = min(hor_t, w)
+    canvas = [slice(ver_f, ver_t), slice(hor_f, hor_t)]
+    tile = [
+        slice(tp + overlap, (ver_t - ver_f) + overlap),
+        slice(lp + overlap, (hor_t - hor_f) + overlap),
+    ]
+    if big_image.ndim > 2:
+        canvas.append(slice(None))
+        tile.append(slice(None))
+    return tuple(canvas), tuple(tile)
 
 
 def get_tile(big_image, hor_f: int, hor_t: int, ver_f: int, ver_t: int, overlap: int = 0):

@@ -107,6 +107,33 @@ class TestStreamApply:
                 bad_write,
             )
 
+    def test_reader_error_propagates(self):
+        from microaligner_tpu.pipeline.apply import stream_apply
+
+        def planes():
+            yield (0, np.zeros((4, 4), np.float32))
+            raise ValueError("decode failed")
+
+        got = {}
+        with pytest.raises(ValueError, match="decode failed"):
+            stream_apply(planes(), lambda p: jnp.asarray(p), got.__setitem__)
+        assert 0 in got  # planes before the failure were still written
+
+    def test_writer_hang_raises(self):
+        import threading
+
+        from microaligner_tpu.pipeline.apply import stream_apply
+
+        release = threading.Event()
+        with pytest.raises(RuntimeError, match="writer thread still running"):
+            stream_apply(
+                iter([(0, np.zeros((4, 4), np.float32))]),
+                lambda p: jnp.asarray(p),
+                lambda k, v: release.wait(30),  # hung sink, well past the join timeout
+                join_timeout_s=0.5,
+            )
+        release.set()
+
 
 class TestCompatTiling:
     def test_reference_shaped_api(self, rng):

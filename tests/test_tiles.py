@@ -58,3 +58,30 @@ def test_roundtrip_flow(rng):
     grid = TileGrid.for_image(flow.shape, 40, 12)
     back = np.asarray(stitch_tiles(split_into_tiles(flow, grid), grid))
     np.testing.assert_array_equal(back, flow)
+
+
+def test_get_slices_paste_roundtrip(rng):
+    """Pasting every tile interior via get_slices rebuilds the image exactly
+    (reference stitcher.py:25-69 + :72-118 contract)."""
+    from microaligner_tpu.tiles import get_slices, split_image_into_tiles_of_size
+
+    img = rng.integers(0, 255, (97, 113)).astype(np.uint8)
+    tile_w = tile_h = 40
+    overlap = 10
+    tiles, info = split_image_into_tiles_of_size(img, tile_w, tile_h, overlap)
+    pad = info["padding"]
+    canvas = np.zeros(
+        (info["ntiles"]["y"] * tile_h - pad["top"] - pad["bottom"],
+         info["ntiles"]["x"] * tile_w - pad["left"] - pad["right"]),
+        img.dtype,
+    )
+    n = 0
+    for i in range(info["ntiles"]["y"]):
+        for j in range(info["ntiles"]["x"]):
+            canvas_sl, tile_sl = get_slices(
+                canvas, j * tile_w, (j + 1) * tile_w, i * tile_h, (i + 1) * tile_h,
+                pad, overlap,
+            )
+            canvas[canvas_sl] = tiles[n][tile_sl]
+            n += 1
+    np.testing.assert_array_equal(canvas, img)
