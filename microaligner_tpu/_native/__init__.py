@@ -52,6 +52,38 @@ def _load():
 _LIB = _load()
 
 
+def _load_zstd():
+    """System libzstd via ctypes (CPython <3.14 has no stdlib zstd)."""
+    for name in ("libzstd.so.1", "libzstd.so"):
+        try:
+            z = ctypes.CDLL(name)
+            break
+        except OSError:
+            z = None
+    if z is None:
+        return None
+    try:
+        z.ZSTD_decompress.restype = ctypes.c_size_t
+        z.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        z.ZSTD_compress.restype = ctypes.c_size_t
+        z.ZSTD_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int,
+        ]
+        z.ZSTD_compressBound.restype = ctypes.c_size_t
+        z.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        z.ZSTD_isError.restype = ctypes.c_uint
+        z.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    except AttributeError:
+        return None
+    return z
+
+
+_ZSTD = _load_zstd()
+
+
 class codec:
     """Static namespace: decode kernels (native when available)."""
 
@@ -74,6 +106,35 @@ class codec:
             n = _LIB.packbits_decode(data, len(data), out, expected)
             return out.raw[:n]
         return _py_packbits_decode(data, expected)
+
+    zstd_available = _ZSTD is not None
+
+    @staticmethod
+    def zstd_decode(data: bytes, expected: int) -> bytes:
+        """Decompress one zstd-compressed TIFF strip/tile (COMPRESSION 50000,
+        as written by tifffile/imagecodecs — shared_modules/utils.py:69-72
+        reads such inputs through tifffile)."""
+        if _ZSTD is None:
+            raise ValueError(
+                "zstd-compressed TIFF but libzstd is not available on this system"
+            )
+        out = ctypes.create_string_buffer(expected)
+        n = _ZSTD.ZSTD_decompress(out, expected, data, len(data))
+        if _ZSTD.ZSTD_isError(n):
+            raise ValueError("malformed zstd stream in TIFF block")
+        return out.raw[:n]
+
+    @staticmethod
+    def zstd_encode(data: bytes, level: int = 3) -> bytes:
+        """Compress (used by tests to build zstd fixtures without tifffile)."""
+        if _ZSTD is None:
+            raise ValueError("libzstd is not available on this system")
+        cap = _ZSTD.ZSTD_compressBound(len(data))
+        out = ctypes.create_string_buffer(cap)
+        n = _ZSTD.ZSTD_compress(out, cap, data, len(data), level)
+        if _ZSTD.ZSTD_isError(n):
+            raise ValueError("zstd compression failed")
+        return out.raw[:n]
 
     @staticmethod
     def undo_horizontal_predictor(arr: np.ndarray) -> np.ndarray:

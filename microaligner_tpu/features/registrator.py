@@ -54,6 +54,103 @@ def _mi_gate_pair(ref_img, new_img, prev_img, tile_size):
     return after, before
 
 
+def _valid_transform_traced(est3: jax.Array, img_shape) -> jax.Array:
+    """Traced analog of the host validity gates: scale in [0.3, 3] via the
+    2-D decomposition (feature_registrator.py:240-266) and transformed image
+    center inside the borders (:268-278)."""
+    aa, bb = est3[0, 0], est3[1, 0]
+    cc, dd = est3[0, 1], est3[1, 1]
+    det = aa * dd - bb * cc
+    n1 = aa * aa + bb * bb
+    n2 = cc * cc + dd * dd
+    r = jnp.sqrt(jnp.maximum(n1, 1e-30))
+    s = jnp.sqrt(jnp.maximum(n2, 1e-30))
+    s1 = jnp.where(n1 > 0, r, det / s)
+    s2 = jnp.where(n1 > 0, det / r, s)
+    ok_scale = (
+        ((n1 > 0) | (n2 > 0))
+        & (jnp.abs(s1) >= 0.3) & (jnp.abs(s1) <= 3.0)
+        & (jnp.abs(s2) >= 0.3) & (jnp.abs(s2) <= 3.0)
+    )
+    cy, cx = img_shape[0] // 2, img_shape[1] // 2
+    center = est3 @ jnp.asarray([cx, cy, 1.0], jnp.float32)
+    border = jnp.asarray([img_shape[1], img_shape[0], 1.0], jnp.float32)
+    ok_border = ~jnp.any(border - jnp.abs(center) < 0)
+    return ok_scale & ok_border
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "k", "tile_size", "num_iterations", "use_dog", "mesh", "dtype_name"),
+)
+def _level_align_fused(
+    ref_img, ref_coords, ref_desc, ref_valid, mov_img,
+    grid, k, tile_size, num_iterations, use_dog, mesh, dtype_name,
+):
+    """One pyramid level's FULL iterative alignment in a single program.
+
+    The reference's per-iteration chain (find -> match -> RANSAC fit -> warp
+    -> MI gate -> accept/reject, feature_registrator.py:162-192) runs as
+    separate host-driven dispatches; over the tunneled dev backend each launch
+    costs 25-70 ms, so 3 iterations x 5 launches dominate wall time.  Here the
+    whole loop is traced with the accept/reject decision carried on device
+    (``jnp.where`` on the composed homogeneous matrix), and only the final
+    matrix plus per-iteration diagnostic scalars reach the host.
+
+    Returns (composed 2x3 f32, aligned image, diag (num_iterations, 5))
+    with diag rows [n_good, n_total, mi_after, mi_before, accepted].
+    """
+    from microaligner_tpu.features.ransac import _NUM_HYPOTHESES, _ransac_core
+    from microaligner_tpu.features.match import match_descriptors
+    from microaligner_tpu.features.tile_features import _find_features_tiled_jit
+    from microaligner_tpu.ops.affine_tiled import affine_warp_traced
+
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    composed = eye3
+    mov0 = mov_img
+    aligned = mov_img
+    ref_gate_dog = dog_traced(ref_img, True)  # the MI gate always DoGs
+    diag = []
+    for _ in range(num_iterations):
+        det_in = dog_traced(aligned, use_dog)
+        coords, desc, valid, _resp = _find_features_tiled_jit(det_in, grid, k, mesh)
+        good, ref_idx = match_descriptors(ref_desc, desc, ref_valid, valid)
+        dst = jnp.take(ref_coords, ref_idx, axis=0)
+        n_good = jnp.sum(good)
+        params, _cnt = _ransac_core(
+            coords.astype(jnp.float32), dst.astype(jnp.float32), good,
+            jax.random.PRNGKey(0), _NUM_HYPOTHESES,
+        )
+        a, b, tx, ty = params[0], params[1], params[2], params[3]
+        est = jnp.stack([
+            jnp.stack([a, -b, tx]),
+            jnp.stack([b, a, ty]),
+            jnp.stack([jnp.zeros_like(a), jnp.zeros_like(a), jnp.ones_like(a)]),
+        ])
+        est = jnp.where(n_good >= 3, est, eye3)
+
+        # candidate = est applied to the CURRENT aligned image (host parity:
+        # _align_imgs warps the running image, the accepted realign below
+        # restarts from the ORIGINAL mov with the composed matrix)
+        cand = _cast_like(affine_warp_traced(aligned.astype(jnp.float32), est[:2]), dtype_name)
+        after = mi_tiled_traced(ref_gate_dog, dog_traced(cand, True), tile_size)
+        before = mi_tiled_traced(ref_gate_dog, dog_traced(aligned, True), tile_size)
+        accept = (after > before) & _valid_transform_traced(est, mov_img.shape)
+
+        composed = jnp.where(accept, composed @ est, composed)
+        realigned = _cast_like(
+            affine_warp_traced(mov0.astype(jnp.float32), composed[:2]), dtype_name
+        )
+        aligned = jnp.where(accept, realigned, aligned)
+        diag.append(jnp.stack([
+            n_good.astype(jnp.float32),
+            jnp.sum(valid).astype(jnp.float32),
+            after, before,
+            accept.astype(jnp.float32),
+        ]))
+    return composed[:2], aligned, jnp.stack(diag)
+
+
 class FeatureRegistrator:
     def __init__(self):
         self._ref_img = np.array([])
@@ -179,12 +276,57 @@ class FeatureRegistrator:
     def _iterative_alignment(
         self, ref_img, ref_features: Features, mov_img
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-iteration data (images, DoGs, features) stays device-resident;
-        the host sees only match counts, the 2x3 matrix and two MI scalars
-        per iteration — the reference round-trips numpy everywhere, which
-        costs 25-70 ms per transfer over the tunneled dev backend."""
+        """One fused device program per level: the whole find -> match -> fit
+        -> warp -> MI-gate iteration loop runs in a single launch with the
+        accept/reject decision carried on device (``_level_align_fused``);
+        the host sees the final 2x3 matrix plus per-iteration diagnostic
+        scalars.  ``MICROALIGNER_TPU_FUSED_LEVEL=0`` restores the host-driven
+        per-iteration loop (``_iterative_alignment_steps``)."""
+        import os
+
         if self.num_iterations < 1:
             raise ValueError("Number of iterations cannot be less than 1")
+        if os.environ.get("MICROALIGNER_TPU_FUSED_LEVEL", "1") == "0":
+            return self._iterative_alignment_steps(ref_img, ref_features, mov_img)
+
+        from microaligner_tpu.features.tile_features import _HALO
+        from microaligner_tpu.parallel.tile_runner import current_tile_mesh
+        from microaligner_tpu.tiles import TileGrid
+
+        if not ref_features.is_valid():
+            # no usable reference features: matching yields identity and the
+            # gate rejects every iteration (reference behavior)
+            for i in range(self.num_iterations):
+                log("    Iteration", i + 1, "/", self.num_iterations)
+                log("    Worse alignment than before")
+            return jnp.asarray(mov_img), np.eye(2, 3)
+
+        mov_dev = jnp.asarray(mov_img)
+        grid = TileGrid.for_image(tuple(mov_dev.shape), self.tile_size, _HALO)
+        k = min(1_000_000 // grid.num_tiles, 5000)
+        tmat, aligned, diag = _level_align_fused(
+            jnp.asarray(ref_img),
+            ref_features.coords,
+            ref_features.descriptors,
+            ref_features.valid,
+            mov_dev,
+            grid, k, self.tile_size, self.num_iterations, self.use_dog,
+            current_tile_mesh(), mov_dev.dtype.name,
+        )
+        tmat, diag = jax.device_get((tmat, diag))
+        for i, (n_good, n_total, after, before, accepted) in enumerate(diag):
+            log("    Iteration", i + 1, "/", self.num_iterations)
+            log("    Good matches", int(n_good), "/", int(n_total))
+            log("    MI score after:", float(after), "| MI score before:", float(before))
+            log("    Better alignment than before" if accepted > 0
+                else "    Worse alignment than before")
+        return aligned, np.asarray(tmat, np.float64)
+
+    def _iterative_alignment_steps(
+        self, ref_img, ref_features: Features, mov_img
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-driven per-iteration loop (the pre-fusion path; kept for A/B
+        timing and as a fallback)."""
         t_matrices: List[np.ndarray] = []
         mov_dev = jnp.asarray(mov_img)
         ref_dev = jnp.asarray(ref_img)

@@ -4,7 +4,7 @@ Covers what the registration pipeline needs (the subset of tifffile the
 reference exercises — SURVEY §2.10):
 
 Reader: classic (42) and BigTIFF (43), little/big endian, strip and tile
-layouts, compression none/LZW/deflate(+zlib)/PackBits, horizontal predictor,
+layouts, compression none/LZW/deflate(+zlib)/PackBits/zstd, horizontal predictor,
 1 sample per pixel (grayscale microscopy) or N contiguous samples, 8/16/32-bit
 unsigned, float32.  Page data is decoded one page at a time (the reference's
 "keeps only one image page in memory" property).
@@ -295,7 +295,11 @@ class TiffFile:
             raw = zlib.decompress(data)
         elif page.compression == 32773:
             raw = _codec.packbits_decode(data, expected)
+        elif page.compression in (50000, 34926):  # zstd (official + legacy tag)
+            raw = _codec.zstd_decode(data, expected)
         else:
+            # JPEG-family and exotic codecs are documented out of scope
+            # (PARITY.md); the reference reads them via tifffile's imagecodecs
             raise ValueError(f"unsupported TIFF compression {page.compression}")
         if len(raw) < expected:
             raw = raw + b"\0" * (expected - len(raw))

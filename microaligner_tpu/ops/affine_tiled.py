@@ -38,7 +38,12 @@ import numpy as np
 
 from microaligner_tpu.tiles import TileGrid, stitch_tiles
 
-__all__ = ["plan_affine_tiled", "affine_warp_tiled", "AffinePlan"]
+__all__ = [
+    "plan_affine_tiled",
+    "affine_warp_tiled",
+    "affine_warp_traced",
+    "AffinePlan",
+]
 
 _BAND = 4
 _TILE_CANDIDATES = (1024, 512, 256, 128)
@@ -156,6 +161,124 @@ def _affine_tiled_exec(img, starts, cvals, mvec, grid, pads, band, mesh):
         broadcast=(canvas, mvec),
     )
     return stitch_tiles(tiles, grid)
+
+
+_TRACED_PAD = 256  # static canvas pad of the traced path; |translation| beyond
+#                    this (rare at registration scale) takes the gather branch
+_TRACED_BATCH = 8
+
+
+def affine_warp_traced(img: jax.Array, fwd: jax.Array, band: int = _BAND) -> jax.Array:
+    """Fully-traced ``cv.warpAffine``: ``fwd`` is a TRACED (2, 3) forward
+    matrix (src -> dst), output matches ``img``'s (H, W) in float32.
+
+    The host-planned path (``affine_warp_tiled``) needs the matrix on the host
+    to choose tile size and padding; inside a fused jit program the matrix is
+    a traced value, so this variant fixes the geometry statically (tile from
+    the image size, canvas pad ``_TRACED_PAD``) and decides banded-vs-gather
+    with ONE ``lax.cond`` at runtime: near-identity transforms run the
+    dc-shifted windowed block-copy + banded-sampler path; everything else
+    (strong rotation, huge translation, singular matrix) takes the exact
+    bilinear gather.  Zero-outside sampling either way (BORDER_CONSTANT).
+    """
+    out_h, out_w = int(img.shape[0]), int(img.shape[1])
+    src = img.astype(jnp.float32)
+
+    # traced inverse via the adjugate; a singular forward matrix routes to the
+    # gather branch, which then samples with the zeroed inverse -> constant
+    # image, same as the reference's pinv degenerate output shape-wise
+    a, b, tx = fwd[0, 0], fwd[0, 1], fwd[0, 2]
+    c, d, ty = fwd[1, 0], fwd[1, 1], fwd[1, 2]
+    det = a * d - b * c
+    nonsingular = jnp.abs(det) > 1e-12
+    idet = jnp.where(nonsingular, 1.0 / jnp.where(nonsingular, det, 1.0), 0.0)
+    ia, ib = d * idet, -b * idet
+    ic, id_ = -c * idet, a * idet
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+
+    def gather_branch(_):
+        gx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+        from microaligner_tpu.ops.warp import bilinear_remap
+
+        return bilinear_remap(src, ia * gx + ib * gy + itx, ic * gx + id_ * gy + ity)
+
+    tile = None
+    for cand in _TILE_CANDIDATES:
+        if cand <= min(out_h, out_w):
+            tile = cand
+            break
+    if tile is None or min(out_h, out_w) < _MIN_DIM:
+        return gather_branch(None)
+
+    halo = band + 1
+    grid = TileGrid.for_image((out_h, out_w), tile, halo)
+    win_h, win_w = grid.tile_shape
+
+    m00, m01 = ia - 1.0, ib
+    m10, m11 = ic, id_ - 1.0
+    r = (max(win_h, win_w) - 1) / 2.0
+    bx = (jnp.abs(m00) + jnp.abs(m01)) * r + 0.5
+    by = (jnp.abs(m10) + jnp.abs(m11)) * r + 0.5
+
+    jj, ii = np.meshgrid(np.arange(grid.nx), np.arange(grid.ny))
+    ox = jnp.asarray((jj * grid.tile_w).ravel(), jnp.float32)
+    oy = jnp.asarray((ii * grid.tile_h).ravel(), jnp.float32)
+    gx_c = ox - halo + (win_w - 1) / 2.0
+    gy_c = oy - halo + (win_h - 1) / 2.0
+    src_x_c = ia * gx_c + ib * gy_c + itx
+    src_y_c = ic * gx_c + id_ * gy_c + ity
+    dcx = jnp.rint(src_x_c - gx_c)
+    dcy = jnp.rint(src_y_c - gy_c)
+    start_x = ox - halo + dcx + _TRACED_PAD
+    start_y = oy - halo + dcy + _TRACED_PAD
+    ch = out_h + 2 * _TRACED_PAD
+    cw = out_w + 2 * _TRACED_PAD
+    in_bounds = (
+        (start_x >= 0) & (start_x + win_w <= cw)
+        & (start_y >= 0) & (start_y + win_h <= ch)
+    )
+    ok = (
+        nonsingular
+        & (bx <= band - 1) & (by <= band - 1)
+        & jnp.all(in_bounds)
+    )
+
+    c_x = ia * (ox - halo) + ib * (oy - halo) + itx - (start_x - _TRACED_PAD)
+    c_y = ic * (ox - halo) + id_ * (oy - halo) + ity - (start_y - _TRACED_PAD)
+    starts = jnp.stack([start_y, start_x], axis=-1).astype(jnp.int32)
+    cvals = jnp.stack([c_x, c_y], axis=-1).astype(jnp.float32)
+
+    n = grid.num_tiles
+    nb = -(-n // _TRACED_BATCH) * _TRACED_BATCH
+
+    def tiled_branch(_):
+        from microaligner_tpu.ops.warp import sample_displaced_batched
+
+        canvas = jnp.pad(src, _TRACED_PAD)
+        st = jnp.concatenate([starts, jnp.zeros((nb - n, 2), jnp.int32)])
+        cv = jnp.concatenate([cvals, jnp.zeros((nb - n, 2), jnp.float32)])
+        st = st.reshape(nb // _TRACED_BATCH, _TRACED_BATCH, 2)
+        cv = cv.reshape(nb // _TRACED_BATCH, _TRACED_BATCH, 2)
+
+        def chunk(args):
+            s, cvv = args
+            wins = jax.lax.map(
+                lambda ss: jax.lax.dynamic_slice(canvas, (ss[0], ss[1]), (win_h, win_w)),
+                s,
+            )
+            wy = jax.lax.broadcasted_iota(jnp.float32, (win_h, win_w), 0)
+            wx = jax.lax.broadcasted_iota(jnp.float32, (win_h, win_w), 1)
+            fx = m00 * wx + m01 * wy + cvv[:, 0][:, None, None]
+            fy = m10 * wx + m11 * wy + cvv[:, 1][:, None, None]
+            flows = jnp.stack([fx, fy], axis=-1)
+            return sample_displaced_batched(wins[..., None], flows, band)[..., 0]
+
+        tiles = jax.lax.map(chunk, (st, cv)).reshape(nb, win_h, win_w)[:n]
+        return stitch_tiles(tiles, grid)
+
+    return jax.lax.cond(ok, tiled_branch, gather_branch, None)
 
 
 def affine_warp_tiled(img: jax.Array, inv: np.ndarray, out_h: int, out_w: int):

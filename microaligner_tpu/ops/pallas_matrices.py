@@ -7,8 +7,16 @@ stage behind cv.calcOpticalFlowFarneback, driven from optflow_reg/flow_calc.py).
 Done as separate XLA ops this costs ~230 ms per iteration at 25x1200^2 tiles —
 the banded select-FMA sampling and the elementwise combine each make a full
 HBM round trip per channel.  This kernel keeps one row-block of all five
-channels of R0/R1 plus the displacement fields resident in VMEM and emits M
-directly: one HBM read per input plane, one write per output plane.
+channels of R0/R1 plus the flow fields resident in VMEM and emits M directly:
+one HBM read per input plane, one write per output plane.
+
+The floor/frac displacement decomposition happens IN KERNEL from the raw
+flow (saves four XLA-materialized field planes per update), and both offset
+loops are gated by per-block scalar displacement ranges — computing a weight
+plane + a vector any-reduction for all 2band+1 column offsets per row offset
+(the previous scheme) cost ~45 full-block VPU passes even when the block's
+displacement spread was 2; scalar range checks skip absent offsets for the
+price of a flag compare.
 
 Banded contract (same as ops/pallas_sample.py): exact when every integer
 displacement lies in [-band, band-1] or the 2x2 stencil falls fully outside
@@ -27,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_update_matrices"]
 
-_ROW_BLOCK = 16
+_ROW_BLOCK = 16  # measured best on v5e: rb=32 is ~18% SLOWER (the dynamic
+# sublane roll over the doubled slab costs more than the halved block count)
 # OpenCV's border down-weighting of the displacement equations, outer 5 px
 # (must match optflow/farneback.py::_BORDER_SCALE).
 _BORDER = 5
@@ -40,23 +49,24 @@ def _edge_scale(i, size):
     return lead * trail
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "out_dtype"))
 def pallas_update_matrices(
     R0: jax.Array,
     R1: jax.Array,
-    dxi: jax.Array,
-    dyi: jax.Array,
-    tx: jax.Array,
-    ty: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
     band: int = 4,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Fused banded-sample + matrix combine.
 
-    ``R0``/``R1`` are (N, 5, H, W) float32 polynomial expansions; ``dxi``/
-    ``dyi`` (N, H, W) int32 integer displacement parts, ``tx``/``ty`` their
-    fractional parts.  Returns M = (N, 5, H, W) channels [G11,G12,G22,h1,h2].
-    Requires H >= 2*band + 1 (callers gate on this).
+    ``R0``/``R1`` are (N, 5, H, W) float32 polynomial expansions; ``fx``/``fy``
+    (N, H, W) float32 flow components (integer/fractional split happens in
+    kernel).  Returns M = (N, 5, H, W) channels [G11,G12,G22,h1,h2] in
+    ``out_dtype`` (bf16 storage halves the aggregation chain's HBM read —
+    see farneback._m_storage_dtype).  Requires H >= 2*band + 1 (callers gate
+    on this).
     """
     n, c, h, w = R0.shape
     assert c == 5
@@ -75,10 +85,8 @@ def pallas_update_matrices(
     R1p = jnp.pad(R1, ((0, 0), (0, 0), (pad, pad + hpad + rb), (pad, wal - w - pad)))
     if hpad:
         zs = ((0, 0), (0, hpad), (0, 0))
-        dxi = jnp.pad(dxi, zs)
-        dyi = jnp.pad(dyi, zs)
-        tx = jnp.pad(tx, zs)
-        ty = jnp.pad(ty, zs)
+        fx = jnp.pad(fx, zs)
+        fy = jnp.pad(fy, zs)
         R0 = jnp.pad(R0, ((0, 0), (0, 0), (0, hpad), (0, 0)))
     hp = h + hpad
     grid = (n, hp // rb)
@@ -96,9 +104,9 @@ def pallas_update_matrices(
     )
     out = pl.pallas_call(
         functools.partial(_kernel, band, rb, h, w),
-        out_shape=jax.ShapeDtypeStruct((n, 5, hp, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 5, hp, w), out_dtype),
         grid=grid,
-        in_specs=[r0_spec, r1_spec_a, r1_spec_b] + [field_spec] * 4,
+        in_specs=[r0_spec, r1_spec_a, r1_spec_b] + [field_spec] * 2,
         out_specs=r0_spec,
         scratch_shapes=[
             pltpu.VMEM((5, 2 * rb, wal), jnp.float32),
@@ -106,38 +114,42 @@ def pallas_update_matrices(
             pltpu.VMEM((5, rb, w), jnp.float32),
         ],
         interpret=interpret,
-    )(R0, R1p, R1p, dxi, dyi, tx, ty)
+    )(R0, R1p, R1p, fx, fy)
     return out[:, :, :h, :]
 
 
 def _kernel(
-    band, rb, h, w, r0_ref, r1a_ref, r1b_ref, dxi_ref, dyi_ref, tx_ref, ty_ref,
+    band, rb, h, w, r0_ref, r1a_ref, r1b_ref, fx_ref, fy_ref,
     out_ref, slab_ref, acc_ref, cd_ref,
 ):
     pad = band + 1
     r0 = r0_ref[0]  # (5, rb, w)
     # stage the two consecutive row-block views into one VMEM slab so the
-    # row loop below can take dynamic-start reads from it (Mosaic has no
-    # dynamic_slice on values, only on refs)
+    # row loop below can take dynamic rotates of it (Mosaic has no
+    # dynamic_slice on values, only on refs, and unaligned static sublane
+    # windows of a ref lower as slow copies — measured 3x worse than the
+    # rotate on v5e)
     slab_ref[:, :rb, :] = r1a_ref[0]
     slab_ref[:, rb:, :] = r1b_ref[0]
-    dxi = dxi_ref[0]
-    dyi = dyi_ref[0]
-    tx = tx_ref[0]
-    ty = ty_ref[0]
+    fx = fx_ref[0]
+    fy = fy_ref[0]
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - dxi.astype(jnp.float32)
+    ty = fy - dyi.astype(jnp.float32)
 
     # The bilinear accumulation is a (2band+1)² select-FMA sweep, but each
     # pixel touches only a 2x2 stencil, and flows are spatially smooth: the
     # integer displacements in one row block typically span 2-3 values, not
-    # 2band+1.  Both offset loops therefore run with DYNAMIC bounds — the
-    # block's [min, max] displacement range — skipping offsets nobody uses
-    # (exactly zero weight), which cuts the roll+select work ~9x for typical
-    # sub-pixel per-level flows.  Worst-case spread degrades to the full
-    # static sweep.  Loops stay fori_loops (not unrolled): Mosaic's scoped
-    # stack allocation keeps every unrolled iteration's slices live, which
-    # blows the 16 MB VMEM budget.  The loop-varying row window comes from a
-    # dynamic sublane rotate + static slice (unaligned dynamic-start vector
-    # loads aren't lowerable); the column window from a dynamic lane rotate.
+    # 2band+1.  The row loop runs with DYNAMIC fori bounds (the block's
+    # [min, max] row-displacement range) over dynamic sublane rotates of the
+    # staged slab; the unrolled column offsets are gated by SCALAR range
+    # compares (@pl.when) — computing a weight plane + any-reduction per
+    # absent offset cost ~45 full-block VPU passes.  Worst-case spread
+    # degrades to the full static sweep.  Alternatives measured SLOWER on
+    # v5e: rb=32 (+18%), static-unrolled rows reading unaligned ref windows
+    # (3x).  Dynamic lane rotates for the columns miscompile past one
+    # 128-lane tile (hence static lane slices).
     slab = slab_ref[...]
 
     # clamp to the band: out-of-band displacements belong to fully-outside
@@ -145,40 +157,28 @@ def _kernel(
     # skipping them is exact
     dy_lo = jnp.maximum(jnp.min(dyi), -band)
     dy_hi = jnp.minimum(jnp.max(dyi), band - 1)
+    dx_lo = jnp.maximum(jnp.min(dxi), -band)
+    dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
 
-    # a single outlier pixel in the block stretches [d_lo, d_hi] to the full
-    # band; most d (and e) values in that range have all-zero weights, so the
-    # expensive rolls are skipped at runtime (@pl.when predicated regions
-    # accumulating into VMEM scratch — value-carried lax.cond miscompiles
-    # under Mosaic's nested-region lowering)
     acc_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
 
     def row_term(k, carry):
         d = k - band
         wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
+        # rows[i] = slab[pad + d + i]; the rotate never wraps useful rows
+        # because pad + d + rb <= 2*rb for rb >= 2*band + 1
+        rolled = pltpu.roll(slab, -d, 1)
+        rows = jax.lax.slice_in_dim(rolled, pad, pad + rb, axis=1)
+        cd_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
 
-        @pl.when(jnp.any(wy > 0.0))
-        def _row():
-            # rows[i] = slab[pad + d + i]; the rotate never wraps useful rows
-            # because pad + d + rb <= 2*rb for rb >= 2*band + 1
-            rolled = pltpu.roll(slab, -d, 1)
-            rows = jax.lax.slice_in_dim(rolled, pad, pad + rb, axis=1)
-            cd_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
-
-            # the column loop unrolls with STATIC lane slices: dynamic lane
-            # rotates miscompile under Mosaic when the lane extent spans more
-            # than one 128-tile (verified on v5e — sublane rotates are fine);
-            # absent offsets still skip their FMA at runtime via pl.when
-            for e in range(-band, band + 1):
+        for e in range(-band, band + 1):
+            @pl.when((e >= dx_lo) & (e <= dx_hi + 1))
+            def _col(e=e, rows=rows):
                 wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
+                seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
+                cd_ref[...] += wx[None] * seg
 
-                @pl.when(jnp.any(wx > 0.0))
-                def _col(e=e, wx=wx):
-                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
-                    cd_ref[...] += wx[None] * seg
-
-            acc_ref[...] += wy[None] * cd_ref[...]
-
+        acc_ref[...] += wy[None] * cd_ref[...]
         return carry
 
     jax.lax.fori_loop(dy_lo + band, dy_hi + band + 2, row_term, 0)
@@ -191,8 +191,8 @@ def _kernel(
     ax = ix + dxi
     ay = iy + dyi
     inb = (ax >= 0) & (ax < w - 1) & (ay >= 0) & (ay < h - 1)
-    dx = dxi.astype(jnp.float32) + tx
-    dy = dyi.astype(jnp.float32) + ty
+    dx = fx
+    dy = fy
 
     r2 = jnp.where(inb, acc[0], 0.0)
     r3 = jnp.where(inb, acc[1], 0.0)
@@ -220,4 +220,4 @@ def _kernel(
             r6 * r2 + r5 * r3,  # h2
         ],
         axis=0,
-    )
+    ).astype(out_ref.dtype)

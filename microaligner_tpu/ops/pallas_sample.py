@@ -37,17 +37,16 @@ _ROW_BLOCK = 16
 @functools.partial(jax.jit, static_argnames=("band", "interpret"))
 def pallas_sample_displaced(
     img: jax.Array,
-    dxi: jax.Array,
-    dyi: jax.Array,
-    tx: jax.Array,
-    ty: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
     band: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
     """Batched single-channel banded sample.
 
-    ``img`` (N, H, W) f32; ``dxi``/``dyi`` (N, H, W) int32 integer
-    displacements; ``tx``/``ty`` fractional parts.  Returns (N, H, W) f32.
+    ``img`` (N, H, W) f32; ``fx``/``fy`` (N, H, W) f32 displacement
+    components (integer/fractional split happens in kernel — saves four
+    XLA-materialized field planes per call).  Returns (N, H, W) f32.
     """
     n, h, w = img.shape
     pad = band + 1
@@ -64,10 +63,8 @@ def pallas_sample_displaced(
     imgp = jnp.pad(img, ((0, 0), (pad, pad + hpad + rb), (pad, wal - w - pad)))
     if hpad:
         zs = ((0, 0), (0, hpad), (0, 0))
-        dxi = jnp.pad(dxi, zs)
-        dyi = jnp.pad(dyi, zs)
-        tx = jnp.pad(tx, zs)
-        ty = jnp.pad(ty, zs)
+        fx = jnp.pad(fx, zs)
+        fy = jnp.pad(fy, zs)
     hp = h + hpad
     grid = (n, hp // rb)
 
@@ -81,73 +78,75 @@ def pallas_sample_displaced(
         functools.partial(_kernel_batched, band, rb),
         out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.float32),
         grid=grid,
-        in_specs=[img_spec_a, img_spec_b, field_spec, field_spec, field_spec, field_spec],
+        in_specs=[img_spec_a, img_spec_b, field_spec, field_spec],
         out_specs=field_spec,
         scratch_shapes=[
             pltpu.VMEM((rb, w), jnp.float32),
             pltpu.VMEM((rb, w), jnp.float32),
         ],
         interpret=interpret,
-    )(imgp, imgp, dxi, dyi, tx, ty)
+    )(imgp, imgp, fx, fy)
     return out[:, :h, :]
 
 
 def _kernel_batched(
-    band, row_block, img_a_ref, img_b_ref, dxi_ref, dyi_ref, tx_ref, ty_ref,
+    band, row_block, img_a_ref, img_b_ref, fx_ref, fy_ref,
     out_ref, acc_ref, cd_ref,
 ):
     """Leading singleton batch dim from the BlockSpecs; squeeze and compute.
 
-    Offset loops run with DYNAMIC bounds (the block's displacement spread,
-    clamped to the band) and skip all-zero-weight offsets at runtime
-    (@pl.when regions accumulating into VMEM scratch): real flows are
-    sub-pixel almost everywhere, so the (2band+1)² sweep collapses to the
-    few offsets actually present.
+    The row loop runs with DYNAMIC bounds (the block's displacement spread,
+    clamped to the band); the unrolled column offsets are gated by SCALAR
+    range compares — real flows are sub-pixel almost everywhere, so the
+    (2band+1)² sweep collapses to the few offsets actually present without
+    paying a weight plane + any-reduction per absent offset.
     """
     w = out_ref.shape[2]
     pad = band + 1
-    # two consecutive row blocks concatenated cover all band shifts; keep the
-    # leading singleton dim so the slab is 3-D — the exact rank/axis geometry
-    # the validated matrices kernel rolls (2-D slabs miscompile)
-    slab = jnp.concatenate([img_a_ref[:], img_b_ref[:]], axis=1)  # (1, 2rb, wal)
-    dxi = dxi_ref[0]
-    dyi = dyi_ref[0]
-    tx = tx_ref[0]
-    ty = ty_ref[0]
+    fx = fx_ref[0]
+    fy = fy_ref[0]
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - dxi.astype(jnp.float32)
+    ty = fy - dyi.astype(jnp.float32)
 
     dy_lo = jnp.maximum(jnp.min(dyi), -band)
     dy_hi = jnp.minimum(jnp.max(dyi), band - 1)
+    dx_lo = jnp.maximum(jnp.min(dxi), -band)
+    dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
 
     acc_ref[...] = jnp.zeros((row_block, w), jnp.float32)
 
-    def row_term(k, carry):
-        d = k - band
-        wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
-
-        @pl.when(jnp.any(wy > 0.0))
-        def _row():
-            # rows[i] = slab[pad + d + i]; never wraps: pad + d + rb <= 2*rb
-            rolled = pltpu.roll(slab, -d, 1)
-            rows = jax.lax.slice_in_dim(rolled, pad, pad + row_block, axis=1)
+    # Both offset loops are STATIC unrolls gated by scalar range compares;
+    # row windows are STATIC sublane slices read from the two row-block refs
+    # (no dynamic rotate — rolling the slab per executed row offset was the
+    # hottest operation; static ref windows are free).  Column windows are
+    # static lane slices (dynamic lane rotates miscompile past one 128-lane
+    # tile on v5e).
+    for d in range(-band, band + 1):
+        @pl.when((d >= dy_lo) & (d <= dy_hi + 1))
+        def _row(d=d):
+            wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
+            lo = pad + d
+            if lo + row_block <= row_block:  # window fully in the first block
+                rows = img_a_ref[0, lo : lo + row_block, :]
+            elif lo >= row_block:  # fully in the second block
+                rows = img_b_ref[0, lo - row_block : lo, :]
+            else:  # straddles: static concat of the two ref windows
+                rows = jnp.concatenate(
+                    [img_a_ref[0, lo:, :], img_b_ref[0, : lo, :]], axis=0
+                )
             cd_ref[...] = jnp.zeros((row_block, w), jnp.float32)
 
-            # the column loop unrolls with STATIC lane slices: dynamic lane
-            # rotates miscompile under Mosaic when the lane extent spans more
-            # than one 128-tile (verified on v5e — sublane rotates are fine);
-            # absent offsets still skip their FMA at runtime via pl.when
             for e in range(-band, band + 1):
-                wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
-
-                @pl.when(jnp.any(wx > 0.0))
-                def _col(e=e, wx=wx):
-                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
-                    cd_ref[...] += wx * seg[0]
+                @pl.when((e >= dx_lo) & (e <= dx_hi + 1))
+                def _col(e=e, rows=rows):
+                    wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
+                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=1)
+                    cd_ref[...] += wx * seg
 
             acc_ref[...] += wy * cd_ref[...]
 
-        return carry
-
-    jax.lax.fori_loop(dy_lo + band, dy_hi + band + 2, row_term, 0)
     out_ref[0] = acc_ref[...]
 
 
@@ -169,12 +168,7 @@ def _self_test_body() -> bool:
     flow = (rng.random((2, 256, 256, 2)) - 0.5) * 13
     fx = jnp.asarray(flow[..., 0], jnp.float32)
     fy = jnp.asarray(flow[..., 1], jnp.float32)
-    x1 = jnp.floor(fx)
-    y1 = jnp.floor(fy)
-    out = pallas_sample_displaced(
-        img, x1.astype(jnp.int32), y1.astype(jnp.int32), fx - x1, fy - y1, band=7
-    )
-    out = np.asarray(out)
+    out = np.asarray(pallas_sample_displaced(img, fx, fy, band=7))
     # compare against the XLA banded path directly (NOT the public
     # dispatcher, which consults pallas_available -> would recurse)
     from microaligner_tpu.ops.warp import _sample_banded_one

@@ -177,9 +177,8 @@ def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -
         if use_pallas:
             from microaligner_tpu.ops.pallas_sample import pallas_sample_displaced
 
-            x1i, y1i, tx, ty = jax.vmap(_displacement_fields)(fl)
             return pallas_sample_displaced(
-                im[..., 0], x1i, y1i, tx, ty, band=band_eff
+                im[..., 0], fl[..., 0], fl[..., 1], band=band_eff
             )[..., None]
         return jax.vmap(lambda i, f: _sample_banded_one(i, f, band))(im, fl)
 

@@ -256,7 +256,7 @@ def _update_matrices_zero_flow_cf(R0: jax.Array, R1: jax.Array) -> jax.Array:
     ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     inb = (ix < w - 1) & (iy < h - 1)
-    return _combine_matrices_cf(R0, zero, zero, R1, inb)
+    return _combine_matrices_cf(R0, zero, zero, R1, inb).astype(_m_storage_dtype())
 
 
 _PALLAS_MATRICES_OK: bool | None = None
@@ -291,16 +291,10 @@ def _pallas_matrices_self_test_body() -> bool:
     rng = np.random.default_rng(0)
     R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32)
     R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32)
-    # displacements span most of the production band (_BAND_PALLAS = 8)
+    # displacements span most of the production band (_BAND_PALLAS = 7)
     fx = jnp.asarray((rng.random((2, 64, 320)) - 0.5) * 13, jnp.float32)
     fy = jnp.asarray((rng.random((2, 64, 320)) - 0.5) * 13, jnp.float32)
-    dxi = jnp.floor(fx).astype(jnp.int32)
-    dyi = jnp.floor(fy).astype(jnp.int32)
-    got = np.asarray(
-        pallas_update_matrices(
-            R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=_BAND_PALLAS
-        )
-    )
+    got = np.asarray(pallas_update_matrices(R0, R1, fx, fy, band=_BAND_PALLAS))
     want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, _BAND_PALLAS))
     return bool(np.allclose(got, want, atol=1e-4))
 
@@ -363,17 +357,15 @@ def _update_matrices_batched_cf(R0, R1, fx, fy):
     fully_outside = (ax < -1) | (ax > w - 1) | (ay < -1) | (ay > h - 1)
     ok = jnp.all(in_band | fully_outside)
 
+    m_dt = _m_storage_dtype()
+
     def banded(args):
         R0_, R1_, fx_, fy_ = args
         if use_pallas:
             from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
 
-            dxi_ = jnp.floor(fx_).astype(jnp.int32)
-            dyi_ = jnp.floor(fy_).astype(jnp.int32)
-            return pallas_update_matrices(
-                R0_, R1_, dxi_, dyi_, fx_ - dxi_, fy_ - dyi_, band=band
-            )
-        return _update_matrices_banded_xla(R0_, R1_, fx_, fy_, _BAND)
+            return pallas_update_matrices(R0_, R1_, fx_, fy_, band=band, out_dtype=m_dt)
+        return _update_matrices_banded_xla(R0_, R1_, fx_, fy_, _BAND).astype(m_dt)
 
     def exact(args):
         R0_, R1_, fx_, fy_ = args
@@ -383,7 +375,7 @@ def _update_matrices_batched_cf(R0, R1, fx, fy):
         samp_cl = jax.vmap(_sample_take_one)(jnp.moveaxis(R1_, 1, -1), flow)
         samp = jnp.moveaxis(samp_cl, -1, 1)
         inb = _inbounds_map(fx_, fy_, h, w)
-        return jax.vmap(_combine_matrices_cf)(R0_, fx_, fy_, samp, inb)
+        return jax.vmap(_combine_matrices_cf)(R0_, fx_, fy_, samp, inb).astype(m_dt)
 
     return jax.lax.cond(ok, banded, exact, (R0, R1, fx, fy))
 
@@ -583,6 +575,25 @@ def _smooth5_mxu(s: jax.Array, winsize: int) -> jax.Array:
     s = _block_smooth_axis(s, winsize, -1)
     s = _block_smooth_axis(s, winsize, -2)
     return s
+
+
+def _m_storage_dtype():
+    """Storage dtype for the normal-equation planes M between the matrix
+    stage and the window aggregation.
+
+    bf16 halves the aggregation chain's HBM traffic (M is written once and
+    read twice per iteration).  It is numerically near-free because under
+    DEFAULT precision the aggregation matmuls already round their INPUTS to
+    bf16 on the MXU — storing M in bf16 applies the same rounding one stage
+    earlier.  Validated on-hardware against the cv2 parity bars
+    (scripts/tpu_parity_check.py).  f32 when the aggregation precision is
+    raised (MICROALIGNER_TPU_AGG_PRECISION) or off-TPU (CPU tests are f32).
+    """
+    if _agg_precision() != jax.lax.Precision.DEFAULT:
+        return jnp.float32
+    if jax.default_backend() not in ("tpu", "axon"):
+        return jnp.float32
+    return jnp.bfloat16
 
 
 _PALLAS_AGG_OK: bool | None = None

@@ -113,6 +113,75 @@ def _fused_level(
     return this_flow, mi_after, mi_before
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "win_size", "num_iter", "use_dog", "tile_size",
+        "pre_warp", "whole_image", "dtype_name",
+        "is_first", "is_last", "next_shape", "full_shape",
+        "use_full_res", "reject_mult",
+    ),
+)
+def _fused_level_carry(
+    ref_lvl, mov_lvl, m_flow,
+    grid, win_size, num_iter, use_dog, tile_size,
+    pre_warp, whole_image, dtype_name,
+    is_first, is_last, next_shape, full_shape, use_full_res, reject_mult,
+):
+    """One pyramid level INCLUDING the accept/reject carry, as one program.
+
+    Extends ``_fused_level`` with the reference's post-gate bookkeeping
+    (optflow_registrator.py:134-169): flow composition, the per-branch pyrUp
+    upscales, and the zero-flow reject at the coarsest level.  The composition
+    and a single pyrUp run unconditionally and ``jnp.where`` selects between
+    the accept/reject inputs, so the accumulated flow never visits the host —
+    ``register()`` becomes one launch per level plus one final fetch instead
+    of 3-5 launches and two scalar syncs per level.
+
+    Returns ``(m_flow_next, mi_after, mi_before)``.
+    """
+    this_flow, mi_after, mi_before = _fused_level(
+        ref_lvl, mov_lvl, m_flow,
+        grid, win_size, num_iter, use_dog, tile_size,
+        pre_warp, whole_image, dtype_name,
+    )
+    accept = mi_after > mi_before
+
+    from microaligner_tpu.optflow.warper import compose_flows_tiled
+
+    if is_first:
+        target = full_shape if is_last else next_shape
+        if is_last and abs(this_flow.shape[0] - full_shape[0]) <= 1:
+            # single-level pyramid at (almost) full size: accept keeps the raw
+            # flow (the reference's upscale chain is a no-op there)
+            m_next = jnp.where(accept, this_flow, jnp.zeros_like(this_flow))
+        else:
+            mult = 2.0 if not is_last else 1.0
+            up = pyr_up(this_flow * mult, (int(target[0]), int(target[1])))
+            m_next = jnp.where(accept, up, jnp.zeros_like(up))
+        return m_next, mi_after, mi_before
+
+    merged = compose_flows_tiled(m_flow, this_flow, grid)
+    if is_last:
+        if use_full_res:
+            return jnp.where(accept, merged, m_flow), mi_after, mi_before
+        if abs(merged.shape[0] - full_shape[0]) <= 1:
+            return jnp.where(accept, merged, m_flow), mi_after, mi_before
+        # accept: one pyrUp of the merged flow to full res, values unscaled
+        # (the reference's _upscale_flow_to_full_res quirk); reject: the
+        # doubled accumulated flow upscaled (optflow_registrator.py:163-168)
+        src = jnp.where(accept, merged, m_flow * 2.0)
+        return (
+            pyr_up(src, (int(full_shape[0]), int(full_shape[1]))),
+            mi_after, mi_before,
+        )
+    src = jnp.where(accept, merged * 2.0, m_flow * float(reject_mult))
+    return (
+        pyr_up(src, (int(next_shape[0]), int(next_shape[1]))),
+        mi_after, mi_before,
+    )
+
+
 class OptFlowRegistrator:
     def __init__(self):
         self._ref_img = np.array([])
@@ -159,14 +228,67 @@ class OptFlowRegistrator:
     def register(self) -> np.ndarray:
         """Returns the full-resolution (H, W, 2) flow aligning mov to ref.
 
-        All dense state (pyramids, flows, warped levels) stays device-resident
-        across the level loop; only the MI gate scalars come to the host —
-        essential at 20k x 20k where a single full-res f32 flow is 3.2 GB.
+        The accumulated flow is carried on device through the whole level
+        loop (``_fused_level_carry``): one launch per pyramid level, one
+        final fetch, and the MI gate scalars are read back in a single batch
+        at the end for logging — essential at 20k x 20k where a single
+        full-res f32 flow is 3.2 GB, and on any backend where launches cost
+        more than microseconds.  ``MICROALIGNER_TPU_CARRY_LEVEL=0`` restores
+        the host-driven accept/reject loop.
         """
+        import os
+
         check_img_is_provided(self._ref_img, "ref")
         check_img_is_provided(self._mov_img, "mov")
         check_img_dims_match(self._ref_img, self._mov_img)
+        if os.environ.get("MICROALIGNER_TPU_CARRY_LEVEL", "1") == "0":
+            return self._register_stepwise()
 
+        self._init_components()
+        win_size = self.overlap - (1 - self.overlap % 2)
+        ref_pyr, factors = self._generate_img_pyr(jnp.asarray(self._ref_img))
+        mov_pyr, _ = self._generate_img_pyr(jnp.asarray(self._mov_img))
+        dtype_name = np.dtype(self._mov_img.dtype).name
+
+        num_lvl = len(factors)
+        full_shape = tuple(int(s) for s in self._mov_img.shape)
+        m_flow = jnp.zeros((1, 1, 2), jnp.float32)  # dummy until level 0 runs
+        scores = []
+        for lvl, factor in enumerate(factors):
+            shape = tuple(int(s) for s in mov_pyr[lvl].shape)
+            grid = TileGrid.for_image(shape, self.tile_size, self.overlap)
+            is_first = lvl == 0
+            is_last = lvl == num_lvl - 1
+            next_shape = (
+                full_shape if is_last
+                else tuple(int(s) for s in mov_pyr[lvl + 1].shape)
+            )
+            with stage_timer(f"lvl{factor} fused level+carry"):
+                m_flow, mi_after, mi_before = _fused_level_carry(
+                    ref_pyr[lvl], mov_pyr[lvl], m_flow,
+                    grid, win_size, self.num_iterations, self.use_dog,
+                    self.tile_size, not is_first, max(shape) / self.tile_size < 2,
+                    dtype_name,
+                    is_first, is_last, next_shape, full_shape,
+                    self.use_full_res_img,
+                    4 if self.replicate_reject_upscale_bug else 2,
+                )
+                _profile_sync(mi_after)
+            scores.append((factor, mi_after, mi_before))
+
+        out, fetched = jax.device_get(
+            (m_flow, [(a, b) for _, a, b in scores])
+        )
+        for (factor, _, _), (mi_after, mi_before) in zip(scores, fetched):
+            log("Pyramid factor", factor)
+            log("    MI score after:", float(mi_after), "| MI score before:", float(mi_before))
+            log("    Better alignment than before" if mi_after > mi_before
+                else "    Worse alignment than before")
+        return np.asarray(out)
+
+    def _register_stepwise(self) -> np.ndarray:
+        """Host-driven accept/reject loop (pre-carry path; kept for A/B
+        timing and as a fallback)."""
         self._init_components()
         win_size = self.overlap - (1 - self.overlap % 2)
         ref_pyr, factors = self._generate_img_pyr(jnp.asarray(self._ref_img))

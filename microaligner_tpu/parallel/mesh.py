@@ -16,9 +16,37 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["get_tile_mesh", "shard_tiles_round_up", "sharded_tile_map"]
+__all__ = [
+    "get_tile_mesh",
+    "init_distributed_from_env",
+    "shard_tiles_round_up",
+    "sharded_tile_map",
+]
 
 _TILE_AXIS = "tiles"
+
+
+def init_distributed_from_env() -> bool:
+    """Multi-host initialization from environment variables.
+
+    Set ``MICROALIGNER_TPU_DIST=1`` plus ``MICROALIGNER_TPU_DIST_COORD``
+    (host:port), ``..._NPROC`` and ``..._PID`` before the first jax call; the
+    tile mesh then spans every process's devices (``jax.devices()`` is global
+    after ``jax.distributed.initialize``) and the tile axis shards across
+    hosts — the "mesh just gets bigger" claim, exercised by
+    tests/test_multihost.py on a 2-process CPU ring.  Returns True when
+    distributed mode was initialized.
+    """
+    import os
+
+    if os.environ.get("MICROALIGNER_TPU_DIST", "0") != "1":
+        return False
+    jax.distributed.initialize(
+        coordinator_address=os.environ["MICROALIGNER_TPU_DIST_COORD"],
+        num_processes=int(os.environ["MICROALIGNER_TPU_DIST_NPROC"]),
+        process_id=int(os.environ["MICROALIGNER_TPU_DIST_PID"]),
+    )
+    return True
 
 
 def get_tile_mesh(devices=None) -> Mesh:

@@ -16,8 +16,17 @@ from __future__ import annotations
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/microaligner_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# env vars set in-process are ignored by this jax build; use the config API
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    ),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np

@@ -78,3 +78,54 @@ class TestTiledAffineCorrectness:
         assert tiled is not None
         exact = _affine_warp_core(jnp.asarray(img), jnp.asarray(inv, jnp.float32), h, w)
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(exact), atol=0.05)
+
+
+class TestAffineWarpTraced:
+    """affine_warp_traced: fully-traced matrix, runtime banded/gather choice."""
+
+    def _host_reference(self, img, fwd):
+        import jax.numpy as jnp
+        from microaligner_tpu.ops.warp import affine_warp
+
+        return np.asarray(affine_warp(jnp.asarray(img, jnp.float32), fwd))
+
+    def test_near_identity_matches_host_path(self, rng):
+        import jax, jax.numpy as jnp
+        from microaligner_tpu.ops.affine_tiled import affine_warp_traced
+
+        img = rng.random((300, 280)).astype(np.float32) * 255
+        fwd = np.float32([[1.0004, 0.0003, 6.4], [-0.0003, 1.0004, -9.1]])
+        got = np.asarray(jax.jit(affine_warp_traced)(jnp.asarray(img), jnp.asarray(fwd)))
+        want = self._host_reference(img, fwd)
+        # traced path inverts the matrix in f32 (the host path uses f64);
+        # ~1e-7 relative coordinate error -> ~1e-4 relative value error
+        assert np.max(np.abs(got - want)) < 255 * 1e-4
+
+    def test_strong_rotation_takes_gather_branch(self, rng):
+        import jax, jax.numpy as jnp
+        from microaligner_tpu.ops.affine_tiled import affine_warp_traced
+
+        img = rng.random((300, 280)).astype(np.float32) * 255
+        th = 0.3
+        fwd = np.float32([[np.cos(th), -np.sin(th), 10.0], [np.sin(th), np.cos(th), 5.0]])
+        got = np.asarray(jax.jit(affine_warp_traced)(jnp.asarray(img), jnp.asarray(fwd)))
+        want = self._host_reference(img, fwd)
+        assert np.max(np.abs(got - want)) < 255 * 1e-4  # f32 vs f64 inverse
+
+    def test_identity_is_exact(self, rng):
+        import jax, jax.numpy as jnp
+        from microaligner_tpu.ops.affine_tiled import affine_warp_traced
+
+        img = rng.random((300, 300)).astype(np.float32)
+        got = np.asarray(jax.jit(affine_warp_traced)(jnp.asarray(img), jnp.eye(2, 3, dtype=np.float32)))
+        np.testing.assert_allclose(got, img, atol=1e-6)
+
+    def test_small_image_gather_only(self, rng):
+        import jax, jax.numpy as jnp
+        from microaligner_tpu.ops.affine_tiled import affine_warp_traced
+
+        img = rng.random((64, 64)).astype(np.float32)
+        fwd = np.float32([[1.0, 0.0, 2.5], [0.0, 1.0, -1.5]])
+        got = np.asarray(jax.jit(affine_warp_traced)(jnp.asarray(img), jnp.asarray(fwd)))
+        want = self._host_reference(img, fwd)
+        assert np.max(np.abs(got - want)) < 1e-4

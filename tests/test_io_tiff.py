@@ -85,6 +85,40 @@ class TestReadForeignTiffs:
     def test_native_codec_built(self):
         assert codec.native, "C++ TIFF codec failed to build"
 
+    def test_zstd_strip_roundtrip(self, tmp_path, rng):
+        """zstd-compressed classic TIFF (COMPRESSION 50000, as written by
+        tifffile/imagecodecs) decodes exactly.  The fixture is hand-built so
+        the test needs no external TIFF writer."""
+        assert codec.zstd_available, "libzstd missing on this system"
+        img = rng.integers(0, 65535, size=(33, 47)).astype(np.uint16)
+        comp = codec.zstd_encode(img.tobytes())
+
+        import struct
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        data_off = 8
+        ifd_off = data_off + len(comp)
+        entries = [
+            entry(256, 3, 1, struct.pack("<I", img.shape[1])),   # ImageWidth
+            entry(257, 3, 1, struct.pack("<I", img.shape[0])),   # ImageLength
+            entry(258, 3, 1, struct.pack("<I", 16)),             # BitsPerSample
+            entry(259, 3, 1, struct.pack("<I", 50000)), # Compression
+            entry(262, 3, 1, struct.pack("<I", 1)),              # Photometric
+            entry(273, 4, 1, struct.pack("<I", data_off)),       # StripOffsets
+            entry(277, 3, 1, struct.pack("<I", 1)),              # SamplesPerPixel
+            entry(278, 3, 1, struct.pack("<I", img.shape[0])),   # RowsPerStrip
+            entry(279, 4, 1, struct.pack("<I", len(comp))),      # StripByteCounts
+        ]
+        buf = struct.pack("<2sHI", b"II", 42, ifd_off) + comp
+        buf += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+        p = tmp_path / "z.tif"
+        p.write_bytes(buf)
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].compression == 50000
+            np.testing.assert_array_equal(tf.read_page(0), img)
+
 
 class TestOmeParsing:
     def test_pixels_info(self):

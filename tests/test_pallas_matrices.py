@@ -22,13 +22,7 @@ def _mk(rng, n, h, w, flow_scale):
 
 def test_matches_xla_path(rng):
     R0, R1, fx, fy = _mk(rng, 2, 64, 96, 6.0)
-    dxi = jnp.floor(fx).astype(jnp.int32)
-    dyi = jnp.floor(fy).astype(jnp.int32)
-    got = np.asarray(
-        pallas_update_matrices(
-            R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4, interpret=True
-        )
-    )
+    got = np.asarray(pallas_update_matrices(R0, R1, fx, fy, band=4, interpret=True))
     want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
@@ -36,13 +30,18 @@ def test_matches_xla_path(rng):
 def test_row_block_remainder(rng):
     # H=50 exercises the hpad path (50 % 32 != 0)
     R0, R1, fx, fy = _mk(rng, 1, 50, 40, 4.0)
-    dxi = jnp.floor(fx).astype(jnp.int32)
-    dyi = jnp.floor(fy).astype(jnp.int32)
-    got = np.asarray(
-        pallas_update_matrices(
-            R0, R1, dxi, dyi, fx - dxi, fy - dyi, band=4, interpret=True
-        )
-    )
+    got = np.asarray(pallas_update_matrices(R0, R1, fx, fy, band=4, interpret=True))
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sparse_offsets(rng):
+    """Non-contiguous integer displacements: a few outlier pixels stretch the
+    scalar [lo, hi] ranges; the range-gated column loop must still be exact."""
+    R0, R1, fx, fy = _mk(rng, 1, 64, 96, 1.0)
+    fx = fx.at[0, 10, 20].set(3.7)
+    fy = fy.at[0, 40, 50].set(-3.2)
+    got = np.asarray(pallas_update_matrices(R0, R1, fx, fy, band=4, interpret=True))
     want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
@@ -51,7 +50,6 @@ def test_small_height_rejected():
     import pytest
 
     R0 = jnp.zeros((1, 5, 8, 32), jnp.float32)
-    zi = jnp.zeros((1, 8, 32), jnp.int32)
     zf = jnp.zeros((1, 8, 32), jnp.float32)
     with pytest.raises(ValueError):
-        pallas_update_matrices(R0, R0, zi, zi, zf, zf, band=4, interpret=True)
+        pallas_update_matrices(R0, R0, zf, zf, band=4, interpret=True)

@@ -8,16 +8,29 @@ import jax
 import jax.numpy as jnp
 
 from microaligner_tpu.ops.pallas_sample import pallas_sample_displaced
-from microaligner_tpu.ops.warp import sample_displaced_batched, _displacement_fields
+from microaligner_tpu.ops.warp import sample_displaced_batched
 
 
 @pytest.mark.parametrize("shape", [(2, 96, 96), (1, 100, 130), (3, 37, 51)])
 def test_matches_xla_banded(rng, shape):
     img = jnp.asarray(rng.random(shape), jnp.float32)
     flow = jnp.asarray((rng.random(shape + (2,)) - 0.5) * 4, jnp.float32)
-    x1i, y1i, tx, ty = jax.vmap(_displacement_fields)(flow)
     out = np.asarray(
-        pallas_sample_displaced(img, x1i, y1i, tx, ty, band=4, interpret=True)
+        pallas_sample_displaced(img, flow[..., 0], flow[..., 1], band=4, interpret=True)
+    )
+    ref = np.asarray(sample_displaced_batched(img[..., None], flow, band=4))[..., 0]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sparse_offsets(rng):
+    """Outlier pixels stretch the scalar offset ranges; the range-gated
+    column loop must remain exact for non-contiguous displacements."""
+    shape = (1, 96, 96)
+    img = jnp.asarray(rng.random(shape), jnp.float32)
+    flow = jnp.asarray((rng.random(shape + (2,)) - 0.5) * 1.0, jnp.float32)
+    flow = flow.at[0, 20, 30, 0].set(3.4).at[0, 60, 70, 1].set(-3.8)
+    out = np.asarray(
+        pallas_sample_displaced(img, flow[..., 0], flow[..., 1], band=4, interpret=True)
     )
     ref = np.asarray(sample_displaced_batched(img[..., None], flow, band=4))[..., 0]
     np.testing.assert_allclose(out, ref, atol=1e-5)
@@ -26,6 +39,5 @@ def test_matches_xla_banded(rng, shape):
 def test_zero_flow_identity(rng):
     img = jnp.asarray(rng.random((1, 64, 64)), jnp.float32)
     z = jnp.zeros((1, 64, 64), jnp.float32)
-    zi = jnp.zeros((1, 64, 64), jnp.int32)
-    out = np.asarray(pallas_sample_displaced(img, zi, zi, z, z, band=4, interpret=True))
+    out = np.asarray(pallas_sample_displaced(img, z, z, band=4, interpret=True))
     np.testing.assert_allclose(out, np.asarray(img), atol=1e-6)
