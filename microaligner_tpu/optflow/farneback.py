@@ -191,6 +191,53 @@ def _poly_exp_batched(imgs: jax.Array, n: int, sigma: float) -> jax.Array:
     return jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), n, sigma))(imgs)
 
 
+_PALLAS_POLYPAIR_OK: bool | None = None
+
+
+def _pallas_polypair_available() -> bool:
+    """Static gate for the fused pair-expansion + zero-flow-combine kernel."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    global _PALLAS_POLYPAIR_OK
+    if _PALLAS_POLYPAIR_OK is None:
+        from microaligner_tpu.utils.selftest import run_outside_trace
+
+        _PALLAS_POLYPAIR_OK = run_outside_trace(_pallas_polypair_self_test_body)
+    return _PALLAS_POLYPAIR_OK
+
+
+def _poly_pair_m_pallas(movs: jax.Array, refs: jax.Array, n: int, sigma: float):
+    """(N, H, W) pair -> (R0, R1, M0): XLA pre-smooth + fused Mosaic kernel."""
+    from microaligner_tpu.ops.pallas_poly import pallas_poly_pair_m
+
+    s0 = jax.vmap(_pre_smooth)(movs)
+    s1 = jax.vmap(_pre_smooth)(refs)
+    sp0 = jnp.pad(s0, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    sp1 = jnp.pad(s1, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    return pallas_poly_pair_m(
+        sp0, sp1, _poly_coeff_tuple(n, sigma), m_dtype=_m_storage_dtype()
+    )
+
+
+def _pallas_polypair_self_test_body() -> bool:
+    rng = np.random.default_rng(0)
+    movs = jnp.asarray(rng.random((2, 70, 320)) * 255, jnp.float32)
+    refs = jnp.asarray(rng.random((2, 70, 320)) * 255, jnp.float32)
+    r0g, r1g, mg = jax.jit(lambda a, b: _poly_pair_m_pallas(a, b, 1, 1.7))(movs, refs)
+    r0w = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(movs)
+    r1w = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(refs)
+    mw = jax.vmap(_update_matrices_zero_flow_cf)(r0w, r1w)
+    return bool(
+        np.allclose(np.asarray(r0g), np.asarray(r0w), atol=1e-3)
+        and np.allclose(np.asarray(r1g), np.asarray(r1w), atol=1e-3)
+        # M may be stored bf16; both paths round from near-identical f32
+        and np.allclose(
+            np.asarray(mg, np.float32), np.asarray(mw, np.float32),
+            rtol=1e-2, atol=1e-2,
+        )
+    )
+
+
 # Displacement band (pixels) covered by the fast sampling path.  Per-level
 # flows after pyramid warping are typically <= 2-3 px; larger flows trigger a
 # runtime fallback to the exact gather path, so results are always exact.
@@ -692,9 +739,14 @@ def _farneback_core_batched(
     """
     if num_iter < 1:
         raise ValueError(f"farneback requires num_iter >= 1, got {num_iter}")
-    r0 = _poly_exp_batched(movs, poly_n, poly_sigma)
-    r1 = _poly_exp_batched(refs, poly_n, poly_sigma)
-    m = jax.vmap(_update_matrices_zero_flow_cf)(r0, r1)
+    if poly_n == 1 and _pallas_polypair_available():
+        # fused Mosaic kernel: both expansions + the first-iteration combine
+        # in one HBM pass (the separate combine re-read both 5-plane stacks)
+        r0, r1, m = _poly_pair_m_pallas(movs, refs, poly_n, poly_sigma)
+    else:
+        r0 = _poly_exp_batched(movs, poly_n, poly_sigma)
+        r1 = _poly_exp_batched(refs, poly_n, poly_sigma)
+        m = jax.vmap(_update_matrices_zero_flow_cf)(r0, r1)
     fx = fy = None
     for i in range(num_iter):
         fx, fy = _update_flow_gaussian_cf(m, win_size)

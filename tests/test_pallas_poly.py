@@ -25,3 +25,31 @@ def test_matches_xla(rng, h, w):
     got = np.asarray(pallas_poly_exp5(sp, _poly_coeff_tuple(1, 1.7), interpret=True))
     want = np.asarray(_want(imgs))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pair_m_matches_xla(rng):
+    """Fused pair expansion + zero-flow combine vs the XLA path (interpret)."""
+    import jax
+
+    from microaligner_tpu.ops.pallas_poly import pallas_poly_pair_m
+    from microaligner_tpu.optflow.farneback import (
+        _poly_coeff_tuple,
+        _poly_exp_cf,
+        _pre_smooth,
+        _update_matrices_zero_flow_cf,
+    )
+
+    movs = jnp.asarray(rng.random((2, 50, 70)) * 255, jnp.float32)
+    refs = jnp.asarray(rng.random((2, 50, 70)) * 255, jnp.float32)
+    s0 = jax.vmap(_pre_smooth)(movs)
+    s1 = jax.vmap(_pre_smooth)(refs)
+    sp0 = jnp.pad(s0, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    sp1 = jnp.pad(s1, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    r0g, r1g, mg = pallas_poly_pair_m(sp0, sp1, _poly_coeff_tuple(1, 1.7), interpret=True)
+
+    r0w = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(movs)
+    r1w = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(refs)
+    mw = jax.vmap(_update_matrices_zero_flow_cf)(r0w, r1w)
+    np.testing.assert_allclose(np.asarray(r0g), np.asarray(r0w), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r1g), np.asarray(r1w), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mg), np.asarray(mw), rtol=1e-3, atol=1e-3)
