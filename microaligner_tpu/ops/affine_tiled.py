@@ -287,6 +287,10 @@ def affine_warp_tiled(img: jax.Array, inv: np.ndarray, out_h: int, out_w: int):
     ``img`` is the (out_h, out_w)-or-smaller source plane (any float dtype);
     output is f32.  ``inv`` is the host-side 2x3 dst->src matrix.
     """
+    if img.shape[0] > out_h or img.shape[1] > out_w:
+        # dsize smaller than the source: the windowed plan assumes the canvas
+        # covers the image; let the exact gather handle the crop (ADVICE r2)
+        return None
     plan = plan_affine_tiled(inv, out_h, out_w)
     if plan is None:
         return None

@@ -73,10 +73,10 @@ def _band_factors_t(length: int, winsize: int):
     return np.ascontiguousarray(np.swapaxes(f, 1, 2))
 
 
-def _prec():
+def _prec(winsize: int):
     from microaligner_tpu.optflow.farneback import _agg_precision
 
-    p = _agg_precision()
+    p = _agg_precision(winsize)
     # Mosaic's dot lowering only knows DEFAULT and HIGHEST; HIGH rounds up
     if p == jax.lax.Precision.HIGH:
         return jax.lax.Precision.HIGHEST
@@ -116,7 +116,7 @@ def _smooth_w_padded(x: jax.Array, winsize: int, interpret: bool = False) -> jax
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_w_kernel_ring, c, hb, _prec()),
+        functools.partial(_w_kernel_ring, c, hb, _prec(winsize)),
         out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), dt),
         grid=grid,
         in_specs=[in_spec, fac_spec],
@@ -192,7 +192,7 @@ def pallas_smooth5_solve(M: jax.Array, winsize: int, interpret: bool = False):
     )
     shape = jax.ShapeDtypeStruct((n, hp, wp), jnp.float32)
     fx, fy = pl.pallas_call(
-        functools.partial(_h_solve_kernel_ring, wb, _prec()),
+        functools.partial(_h_solve_kernel_ring, wb, _prec(winsize)),
         out_shape=(shape, shape),
         grid=grid,
         in_specs=[in_spec, fac_spec],

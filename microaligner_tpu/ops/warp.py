@@ -147,7 +147,10 @@ def sample_displaced_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -
 
     use_pallas = (
         imgs.shape[-1] == 1
-        and h >= 2 * _PALLAS_SAMPLE_BAND + 1  # row-block roll needs the rows
+        # the kernel's row block must hold the band's roll range AND stay a
+        # multiple of 8 sublanes: h in [2*band+1, 15] would yield a 15-row
+        # block, violating the documented alignment (ADVICE round 2)
+        and h >= 16
         and jax.default_backend() in ("tpu", "axon")
     )
     if use_pallas:
@@ -199,6 +202,54 @@ def warp_with_flow_batched(imgs: jax.Array, flows: jax.Array, band: int = 4) -> 
         x = x[..., None]
     out = sample_displaced_batched(x, -flows, band)
     return out[..., 0] if squeeze else out
+
+
+def warp_with_flow_parts_batched(
+    imgs: jax.Array, fx: jax.Array, fy: jax.Array, band: int = 4
+) -> jax.Array:
+    """``warp_with_flow_batched`` with separate flow channels — keeps the
+    trailing-2 stacked layout out of the hot path (see _farneback_core_parts);
+    the stack only materializes on the rare exact-gather fallback."""
+    h, w = fx.shape[1:3]
+    x = imgs.astype(jnp.float32)
+    use_pallas = (
+        h >= 16 and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_pallas:
+        from microaligner_tpu.ops.pallas_sample import pallas_available
+
+        use_pallas = pallas_available()
+    if not use_pallas:
+        return warp_with_flow_batched(x, jnp.stack([fx, fy], axis=-1), band)
+
+    band_eff = _PALLAS_SAMPLE_BAND
+    nfx, nfy = -fx, -fy
+    dxi = jnp.floor(nfx).astype(jnp.int32)
+    dyi = jnp.floor(nfy).astype(jnp.int32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 2)
+    gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 1)
+    in_band = (
+        (dxi >= -band_eff) & (dxi <= band_eff - 1)
+        & (dyi >= -band_eff) & (dyi <= band_eff - 1)
+    )
+    abs_x = gx + dxi
+    abs_y = gy + dyi
+    fully_outside = (abs_x < -1) | (abs_x > w - 1) | (abs_y < -1) | (abs_y > h - 1)
+    ok = jnp.all(in_band | fully_outside)
+
+    def banded(args):
+        im, px, py = args
+        from microaligner_tpu.ops.pallas_sample import pallas_sample_displaced
+
+        return pallas_sample_displaced(im, px, py, band=band_eff)
+
+    def exact(args):
+        im, px, py = args
+        return jax.vmap(_sample_take_one)(
+            im[..., None], jnp.stack([px, py], axis=-1)
+        )[..., 0]
+
+    return jax.lax.cond(ok, banded, exact, (x, nfx, nfy))
 
 
 @jax.jit

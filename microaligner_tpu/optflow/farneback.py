@@ -206,8 +206,13 @@ def _pallas_polypair_available() -> bool:
     return _PALLAS_POLYPAIR_OK
 
 
-def _poly_pair_m_pallas(movs: jax.Array, refs: jax.Array, n: int, sigma: float):
-    """(N, H, W) pair -> (R0, R1, M0): XLA pre-smooth + fused Mosaic kernel."""
+def _poly_pair_m_pallas(
+    movs: jax.Array, refs: jax.Array, n: int, sigma: float, win_size: int = 99
+):
+    """(N, H, W) pair -> (R0, R1, M0): XLA pre-smooth + fused Mosaic kernel.
+
+    ``win_size`` only selects M0's storage dtype (bf16 for production windows,
+    f32 below the _BF16_MIN_WINSIZE parity gate)."""
     from microaligner_tpu.ops.pallas_poly import pallas_poly_pair_m
 
     s0 = jax.vmap(_pre_smooth)(movs)
@@ -215,7 +220,7 @@ def _poly_pair_m_pallas(movs: jax.Array, refs: jax.Array, n: int, sigma: float):
     sp0 = jnp.pad(s0, ((0, 0), (1, 1), (1, 1)), mode="edge")
     sp1 = jnp.pad(s1, ((0, 0), (1, 1), (1, 1)), mode="edge")
     return pallas_poly_pair_m(
-        sp0, sp1, _poly_coeff_tuple(n, sigma), m_dtype=_m_storage_dtype()
+        sp0, sp1, _poly_coeff_tuple(n, sigma), m_dtype=_m_storage_dtype(win_size)
     )
 
 
@@ -296,14 +301,18 @@ def _combine_matrices_cf(R0, dx, dy, samp, inb) -> jax.Array:
     )
 
 
-def _update_matrices_zero_flow_cf(R0: jax.Array, R1: jax.Array) -> jax.Array:
+def _update_matrices_zero_flow_cf(
+    R0: jax.Array, R1: jax.Array, win_size: int = 99
+) -> jax.Array:
     """First-iteration fast path: flow == 0 samples R1 exactly (no gather)."""
     h, w = R0.shape[-2:]
     zero = jnp.zeros((h, w), jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     inb = (ix < w - 1) & (iy < h - 1)
-    return _combine_matrices_cf(R0, zero, zero, R1, inb).astype(_m_storage_dtype())
+    return _combine_matrices_cf(R0, zero, zero, R1, inb).astype(
+        _m_storage_dtype(win_size)
+    )
 
 
 _PALLAS_MATRICES_OK: bool | None = None
@@ -313,7 +322,7 @@ def _pallas_matrices_available(h: int, band: int) -> bool:
     """Static (trace-time) gate for the fused Mosaic matrix-update kernel."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if h < 2 * band + 1:
+    if h < max(16, 2 * band + 1):  # 16: row block must stay 8-sublane aligned
         return False
     global _PALLAS_MATRICES_OK
     if _PALLAS_MATRICES_OK is None:
@@ -378,7 +387,7 @@ def _inbounds_map(fx, fy, h, w):
 _BAND_PALLAS = 7
 
 
-def _update_matrices_batched_cf(R0, R1, fx, fy):
+def _update_matrices_batched_cf(R0, R1, fx, fy, win_size: int = 99):
     """Batched matrix update, (N, 5, H, W) channels-first.
 
     Picks one of three implementations with ONE lax.cond at batch level:
@@ -404,7 +413,7 @@ def _update_matrices_batched_cf(R0, R1, fx, fy):
     fully_outside = (ax < -1) | (ax > w - 1) | (ay < -1) | (ay > h - 1)
     ok = jnp.all(in_band | fully_outside)
 
-    m_dt = _m_storage_dtype()
+    m_dt = _m_storage_dtype(win_size)
 
     def banded(args):
         R0_, R1_, fx_, fy_ = args
@@ -489,21 +498,38 @@ def _block_banded_factors(length: int, winsize: int, block: int):
     return r, nb, factors
 
 
-def _agg_precision():
-    """MXU precision for the window aggregation.
+# Smallest window for which the single-pass bf16 aggregation stays inside the
+# cv2 parity bars.  The bf16 rounding argument (a weighted mean of ~winsize²
+# same-sign terms largely cancels input rounding) weakens as the window
+# shrinks, and the on-hardware sweep (scripts/tpu_parity_check.py --sweep)
+# confirms it: win 11/21 FAIL the bars under bf16 (flow max up to 0.22 px vs
+# the 0.05 bar) while win >= 31 passes with >= 3x margin.  Threshold 49 keeps
+# a safety level between the smallest validated-pass (31) and the production
+# windows (overlap-1, e.g. 99); small windows are cheap, so running them at
+# HIGHEST costs little.
+_BF16_MIN_WINSIZE = 49
+
+
+def _agg_precision(winsize: int = _BF16_MIN_WINSIZE):
+    """MXU precision for the window aggregation at this ``winsize``.
 
     DEFAULT (single-pass bf16) is 6x cheaper than HIGHEST and keeps the flow
-    comfortably within the cv2 parity bars: measured on real TPU v5e at 2048²
-    win99 iter3, flow mean abs diff 3.2e-4 px (bar 1e-3), max 0.005 px (bar
-    0.05), warped MSE 2.9e-10 (bar 1e-3) — scripts/tpu_parity_check.py (the
-    CPU test suite runs f32 matmuls and can't exercise the bf16 passes).
-    The aggregation is a weighted mean of ~winsize² same-sign terms, so bf16
-    input rounding largely cancels instead of accumulating.
-    Override with MICROALIGNER_TPU_AGG_PRECISION=high|highest.
+    comfortably within the cv2 parity bars for production windows: measured
+    on real TPU v5e at 2048² win99 iter3, flow mean abs diff 3.2e-4 px (bar
+    1e-3), max 0.005 px (bar 0.05), warped MSE 2.9e-10 (bar 1e-3) — see
+    scripts/tpu_parity_check.py, incl. the --sweep matrix (the CPU test suite
+    runs f32 matmuls and can't exercise the bf16 passes).  Windows below
+    _BF16_MIN_WINSIZE run at HIGHEST: the sweep shows bf16 breaks the bars
+    there.  Override with MICROALIGNER_TPU_AGG_PRECISION=high|highest (the
+    explicit override applies at every winsize).
     """
     import os
 
-    name = os.environ.get("MICROALIGNER_TPU_AGG_PRECISION", "default").lower()
+    name = os.environ.get("MICROALIGNER_TPU_AGG_PRECISION", "").lower()
+    if not name:
+        if winsize < _BF16_MIN_WINSIZE:
+            return jax.lax.Precision.HIGHEST
+        name = "default"
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
@@ -559,7 +585,7 @@ def _block_smooth_axis(x: jax.Array, winsize: int, axis: int, block: int = _AGG_
     assert axis in (-1, -2)
     length = x.shape[axis]
     r, nb, shared, fixups = _block_banded_shared(length, winsize, block)
-    prec = _agg_precision()
+    prec = _agg_precision(winsize)
     if nb < 2 * r + 3 or len(fixups) >= nb:
         # no interior majority: small axis, just use the dense banded matrix
         D = jnp.asarray(_banded_smooth_matrix(length, winsize))
@@ -624,7 +650,7 @@ def _smooth5_mxu(s: jax.Array, winsize: int) -> jax.Array:
     return s
 
 
-def _m_storage_dtype():
+def _m_storage_dtype(winsize: int = _BF16_MIN_WINSIZE):
     """Storage dtype for the normal-equation planes M between the matrix
     stage and the window aggregation.
 
@@ -634,9 +660,10 @@ def _m_storage_dtype():
     bf16 on the MXU — storing M in bf16 applies the same rounding one stage
     earlier.  Validated on-hardware against the cv2 parity bars
     (scripts/tpu_parity_check.py).  f32 when the aggregation precision is
-    raised (MICROALIGNER_TPU_AGG_PRECISION) or off-TPU (CPU tests are f32).
+    raised — by MICROALIGNER_TPU_AGG_PRECISION or by the small-window gate
+    (winsize < _BF16_MIN_WINSIZE) — or off-TPU (CPU tests are f32).
     """
-    if _agg_precision() != jax.lax.Precision.DEFAULT:
+    if _agg_precision(winsize) != jax.lax.Precision.DEFAULT:
         return jnp.float32
     if jax.default_backend() not in ("tpu", "axon"):
         return jnp.float32
@@ -724,6 +751,41 @@ def _pre_smooth(img: jax.Array) -> jax.Array:
     return sep_filter2d(img.astype(jnp.float32), k, k)
 
 
+def _farneback_core_parts(
+    movs: jax.Array,
+    refs: jax.Array,
+    win_size: int,
+    num_iter: int,
+    poly_n: int,
+    poly_sigma: float,
+):
+    """Batched (N, H, W) Farneback -> (fx, fy), each (N, H, W).
+
+    Flow channels stay SEPARATE arrays throughout (a trailing stacked dim of
+    2 invites padded T(8,128) layouts and relayout copies); callers that need
+    the (N, H, W, 2) API stack at the very end.  Keeps the banded/gather
+    branch decision at batch level so vmapping never duplicates work.
+    """
+    if num_iter < 1:
+        raise ValueError(f"farneback requires num_iter >= 1, got {num_iter}")
+    if poly_n == 1 and _pallas_polypair_available():
+        # fused Mosaic kernel: both expansions + the first-iteration combine
+        # in one HBM pass (the separate combine re-read both 5-plane stacks)
+        r0, r1, m = _poly_pair_m_pallas(movs, refs, poly_n, poly_sigma, win_size)
+    else:
+        r0 = _poly_exp_batched(movs, poly_n, poly_sigma)
+        r1 = _poly_exp_batched(refs, poly_n, poly_sigma)
+        m = jax.vmap(
+            lambda a, b: _update_matrices_zero_flow_cf(a, b, win_size)
+        )(r0, r1)
+    fx = fy = None
+    for i in range(num_iter):
+        fx, fy = _update_flow_gaussian_cf(m, win_size)
+        if i < num_iter - 1:
+            m = _update_matrices_batched_cf(r0, r1, fx, fy, win_size)
+    return fx, fy
+
+
 def _farneback_core_batched(
     movs: jax.Array,
     refs: jax.Array,
@@ -732,26 +794,8 @@ def _farneback_core_batched(
     poly_n: int,
     poly_sigma: float,
 ) -> jax.Array:
-    """Batched (N, H, W) Farneback — the main entry for tiled flow.
-
-    Keeps the banded/gather branch decision at batch level so vmapping never
-    duplicates work.
-    """
-    if num_iter < 1:
-        raise ValueError(f"farneback requires num_iter >= 1, got {num_iter}")
-    if poly_n == 1 and _pallas_polypair_available():
-        # fused Mosaic kernel: both expansions + the first-iteration combine
-        # in one HBM pass (the separate combine re-read both 5-plane stacks)
-        r0, r1, m = _poly_pair_m_pallas(movs, refs, poly_n, poly_sigma)
-    else:
-        r0 = _poly_exp_batched(movs, poly_n, poly_sigma)
-        r1 = _poly_exp_batched(refs, poly_n, poly_sigma)
-        m = jax.vmap(_update_matrices_zero_flow_cf)(r0, r1)
-    fx = fy = None
-    for i in range(num_iter):
-        fx, fy = _update_flow_gaussian_cf(m, win_size)
-        if i < num_iter - 1:
-            m = _update_matrices_batched_cf(r0, r1, fx, fy)
+    """Batched (N, H, W) Farneback -> (N, H, W, 2) stacked flow."""
+    fx, fy = _farneback_core_parts(movs, refs, win_size, num_iter, poly_n, poly_sigma)
     return jnp.stack([fx, fy], axis=-1)
 
 

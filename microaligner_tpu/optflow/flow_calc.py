@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from microaligner_tpu.optflow.farneback import farneback, _farneback_core_batched
+from microaligner_tpu.optflow.farneback import farneback, _farneback_core_parts
 from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
 from microaligner_tpu.tiles import (
     TileGrid,
@@ -66,14 +66,15 @@ def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh):
 
         wr = jax.lax.map(lambda p: get(cr, p), orig)
         wm = jax.lax.map(lambda p: get(cm, p), orig)
-        flow = _farneback_core_batched(
+        # x/y channels travel separately end-to-end: a trailing stacked dim
+        # of 2 can get a padded T(8,128) layout (64x padding at 20k scale)
+        # and costs a relayout copy per stack/unstack round trip
+        fx, fy = _farneback_core_parts(
             wm.astype(jnp.float32), wr.astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
         )
-        # x/y channels travel separately: a rank-5 stack with a trailing dim
-        # of 2 can get a T(8,128) layout (64x padding) at 20k scale
-        interior = flow[:, o : o + grid.tile_h, o : o + grid.tile_w]
-        return interior[..., 0], interior[..., 1]
+        sl = (slice(None), slice(o, o + grid.tile_h), slice(o, o + grid.tile_w))
+        return fx[sl], fy[sl]
 
     fx, fy = tile_map(
         flow_chunk, (origins,), batch=_TILE_BATCH, mesh=mesh,

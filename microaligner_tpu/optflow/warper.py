@@ -165,6 +165,21 @@ def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
         f1y_int = f1yw[:, o : o + grid.tile_h, o : o + grid.tile_w]
         dcx = jnp.round(jnp.mean(-f1x_int, axis=(1, 2))).astype(jnp.int32)
         dcy = jnp.round(jnp.mean(-f1y_int, axis=(1, 2))).astype(jnp.int32)
+        # Guard (ADVICE r2): a tile whose flow deviates from its mean by more
+        # than the window margin could need taps inside its ORIGINAL halo
+        # extent that the shifted window does not cover (the exact-fallback
+        # sampler would read window-edge zeros there, diverging from the
+        # reference's per-tile remap).  Such tiles revert to the unshifted
+        # window (dc = 0), whose zero-outside extent IS the reference
+        # semantics; the sampler's exact fallback then handles the large
+        # residuals correctly.
+        rmax = jnp.maximum(
+            jnp.max(jnp.abs(-f1xw - dcx[:, None, None].astype(jnp.float32)), axis=(1, 2)),
+            jnp.max(jnp.abs(-f1yw - dcy[:, None, None].astype(jnp.float32)), axis=(1, 2)),
+        )
+        shift_ok = rmax <= o - 1
+        dcx = jnp.where(shift_ok, dcx, 0)
+        dcy = jnp.where(shift_ok, dcy, 0)
         # f2's canvas carries the extra _SHIFT_MARGIN: origins shift by M
         sy = jnp.clip(orig[:, 0] + M + dcy, 0, ch - win_h)
         sx = jnp.clip(orig[:, 1] + M + dcx, 0, cw - win_w)

@@ -23,8 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from microaligner_tpu.ops.mutual_info import _joint_hist_256
-from microaligner_tpu.ops.warp import warp_with_flow_batched
-from microaligner_tpu.optflow.farneback import _farneback_core_batched
+from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
+from microaligner_tpu.optflow.farneback import _farneback_core_parts
 from microaligner_tpu.tiles import TileGrid, split_into_tiles, stitch_tiles
 
 __all__ = ["make_sharded_register_step"]
@@ -47,11 +47,13 @@ def make_sharded_register_step(
     pad_tiles = (-num_tiles) % n_dev
 
     def per_shard(ref_tiles, mov_tiles):
-        # ref_tiles: (n_local, T, T) on this device
-        flow = _farneback_core_batched(mov_tiles, ref_tiles, win_size, num_iter, 1, 1.7)
-        warped = warp_with_flow_batched(mov_tiles, flow)
+        # ref_tiles: (n_local, T, T) on this device.  Flow channels stay
+        # separate (fx, fy) through the whole hot path: a trailing stacked
+        # dim of 2 forces padded T(8,128) layouts and relayout copies.
+        fx, fy = _farneback_core_parts(mov_tiles, ref_tiles, win_size, num_iter, 1, 1.7)
+        warped = warp_with_flow_parts_batched(mov_tiles, fx, fy)
         if not with_hist:
-            return warped, flow
+            return warped, fx, fy
         # NMI joint histogram of tile interiors, reduced across the mesh
         o = grid.overlap
         wi = warped[:, o : o + grid.tile_h, o : o + grid.tile_w]
@@ -60,9 +62,13 @@ def make_sharded_register_step(
         b = jnp.clip(wi, 0, 255).astype(jnp.int32).reshape(-1)
         hist = _joint_hist_256(a, b)  # chunked MXU one-hot matmuls
         hist = jax.lax.psum(hist, _AXIS)
-        return warped, flow, hist
+        return warped, fx, fy, hist
 
-    out_specs = (P(_AXIS), P(_AXIS), P()) if with_hist else (P(_AXIS), P(_AXIS))
+    out_specs = (
+        (P(_AXIS), P(_AXIS), P(_AXIS), P())
+        if with_hist
+        else (P(_AXIS), P(_AXIS), P(_AXIS))
+    )
     sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
@@ -87,9 +93,12 @@ def make_sharded_register_step(
         mov_tiles = jax.lax.with_sharding_constraint(mov_tiles, tile_sharding)
         out = sharded(ref_tiles, mov_tiles)
         warped = stitch_tiles(out[0][:num_tiles], grid)
-        flow = stitch_tiles(out[1][:num_tiles], grid)
+        # stitch each channel separately, stack only at the API boundary
+        fx = stitch_tiles(out[1][:num_tiles], grid)
+        fy = stitch_tiles(out[2][:num_tiles], grid)
+        flow = jnp.stack([fx, fy], axis=-1)
         if with_hist:
-            return warped, flow, out[2]
+            return warped, flow, out[3]
         return warped, flow
 
     return step

@@ -99,6 +99,15 @@ def main():
         imgs,
     )
 
+    from microaligner_tpu.optflow.farneback import _farneback_core_parts
+    from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
+
+    def full_parts(a, b):
+        px, py = _farneback_core_parts(a, b, WIN, 3, 1, 1.7)
+        return warp_with_flow_parts_batched(a, px, py)
+
+    timed("FULL step, fx/fy parts (no stack)", k_chain(full_parts), movs, imgs)
+
 
 if __name__ == "__main__":
     main()

@@ -9,6 +9,12 @@ warper.py), using the same bars as tests/test_farneback.py: flow mean abs
 diff < 1e-3 px, max < 0.05 px; warped-plane MSE < 1e-3 (BASELINE.md target).
 
 Run:  python scripts/tpu_parity_check.py [size]
+      python scripts/tpu_parity_check.py --sweep   # winsize/size matrix
+
+The sweep mode exists because the DEFAULT (single-pass bf16) aggregation
+precision was originally validated at one point (2048² win99): the
+same-sign-cancellation argument weakens for small winsize, so the sweep
+re-checks the parity bars across winsize x size x iters (ADVICE round 2).
 """
 
 from __future__ import annotations
@@ -30,6 +36,66 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+
+def _sweep() -> int:
+    """Whole-image Farneback vs cv2 across winsize x size x iters.
+
+    Uses the same bars as the tiled check.  Small winsizes are the cases the
+    bf16 same-sign-cancellation argument covers least, so they lead.
+    """
+    import cv2 as cv
+    import jax
+    import jax.numpy as jnp
+
+    from microaligner_tpu.optflow.farneback import farneback
+
+    combos = [
+        # (size, winsize, iters) — small windows first (ADVICE round 2)
+        (256, 11, 3),
+        (512, 21, 3),
+        (512, 31, 1),
+        (1024, 51, 3),
+        (1024, 75, 2),
+        (2048, 99, 3),
+    ]
+    all_ok = True
+    for size, win, it in combos:
+        rng = np.random.default_rng(size + win)
+        base = cv.GaussianBlur(rng.random((size, size), dtype=np.float32), (0, 0), 3.0)
+        base = cv.normalize(base, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+        ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+        mov = cv.remap(
+            base, xs + 2.0 * np.sin(ys / 50), ys + 1.5 * np.cos(xs / 45), cv.INTER_LINEAR
+        )
+        f_t = np.asarray(
+            farneback(
+                jnp.asarray(mov, jnp.float32), jnp.asarray(base, jnp.float32),
+                win_size=win, num_iter=it,
+            )
+        )
+        f_cv = cv.calcOpticalFlowFarneback(
+            mov, base, None, 0.5, 0, win, it, 1, 1.7, cv.OPTFLOW_FARNEBACK_GAUSSIAN
+        )
+        fd = np.abs(f_t - f_cv)
+        nf = -f_cv.copy()
+        nf[..., 0] += np.arange(size)
+        nf[..., 1] += np.arange(size).reshape(-1, 1)
+        w_cv = cv.remap(mov.astype(np.float32), nf, None, cv.INTER_LINEAR)
+        nt = -f_t.copy()
+        nt[..., 0] += np.arange(size)
+        nt[..., 1] += np.arange(size).reshape(-1, 1)
+        w_t = cv.remap(mov.astype(np.float32), nt, None, cv.INTER_LINEAR)
+        mse = float(((w_t - w_cv) ** 2).mean()) / 255.0**2
+        ok = fd.mean() < 1e-3 and fd.max() < 0.05 and mse < 1e-3
+        all_ok &= ok
+        print(
+            f"size {size:5d} win {win:3d} iter {it}: flow mean {fd.mean():.2e} "
+            f"max {fd.max():.4f} px, warped MSE {mse:.2e}  "
+            f"{'PASS' if ok else 'FAIL'}"
+        )
+    print("SWEEP:", "PASS" if all_ok else "FAIL")
+    return 0 if all_ok else 1
 
 
 def main() -> int:
@@ -98,4 +164,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_sweep() if "--sweep" in sys.argv else main())

@@ -69,3 +69,31 @@ def test_zero_shortcuts(rng):
     np.testing.assert_allclose(
         np.asarray(compose_flows_tiled(f, z, grid)), np.asarray(f), atol=1e-5
     )
+
+
+def test_extreme_spread_reverts_to_unshifted(rng):
+    """Per-tile spread beyond the window margin (> overlap px): the dc-shift
+    guard must revert those tiles to the unshifted window so taps inside the
+    original halo extent are never lost (ADVICE round 2)."""
+    h, w = 260, 300
+    grid = TileGrid.for_image((h, w), 120, 40)
+    # mean ~0 but deviations up to ±60 > overlap 40
+    f1 = jnp.asarray((rng.random((h, w, 2)).astype(np.float32) - 0.5) * 120)
+    f2 = jnp.asarray(_smooth_flow(rng, h, w, 3.0))
+    got = np.asarray(compose_flows_tiled(f1, f2, grid))
+    want = np.asarray(_direct(f1, f2, grid))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_extreme_spread_nonzero_mean(rng):
+    """Large mean AND large spread together."""
+    h, w = 260, 300
+    grid = TileGrid.for_image((h, w), 120, 40)
+    f1 = jnp.asarray(
+        _smooth_flow(rng, h, w, 25.0)
+        + (rng.random((h, w, 2)).astype(np.float32) - 0.5) * 100
+    )
+    f2 = jnp.asarray(_smooth_flow(rng, h, w, 2.0))
+    got = np.asarray(compose_flows_tiled(f1, f2, grid))
+    want = np.asarray(_direct(f1, f2, grid))
+    np.testing.assert_allclose(got, want, atol=1e-4)
