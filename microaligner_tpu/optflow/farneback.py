@@ -695,6 +695,17 @@ def _pallas_agg_self_test() -> bool:
 
 
 def _pallas_agg_self_test_body() -> bool:
+    """Checks BOTH production precision classes against the XLA reference:
+
+    * winsize >= _BF16_MIN_WINSIZE -> DEFAULT precision, bf16 M storage
+    * winsize <  _BF16_MIN_WINSIZE -> HIGHEST precision, f32 M storage
+
+    The M dtype must come from ``_m_storage_dtype(winsize)`` for the SAME
+    winsize being solved: a mixed combo (bf16 M + HIGHEST solve) makes the
+    kernel cast its factors to bf16 while the XLA path keeps f32 factors —
+    a spurious mismatch no production path can produce (it silently demoted
+    the kernel for a whole process when the small-window gate landed).
+    """
     from microaligner_tpu.ops.pallas_agg import pallas_smooth5_solve
 
     rng = np.random.default_rng(0)
@@ -702,13 +713,16 @@ def _pallas_agg_self_test_body() -> bool:
     mov = jnp.roll(img, 2, axis=1)
     r0 = _poly_exp_cf(_pre_smooth(mov), 1, 1.7)
     r1 = _poly_exp_cf(_pre_smooth(img), 1, 1.7)
-    M = _update_matrices_zero_flow_cf(r0, r1)[None]
-    fx, fy = jax.jit(lambda m: pallas_smooth5_solve(m, 31))(M)
-    rx, ry = _update_flow_gaussian_xla(M, 31)
-    return bool(
-        np.allclose(np.asarray(fx), np.asarray(rx), atol=1e-4)
-        and np.allclose(np.asarray(fy), np.asarray(ry), atol=1e-4)
-    )
+    for winsize in (31, _BF16_MIN_WINSIZE + 2):
+        M = _update_matrices_zero_flow_cf(r0, r1, winsize)[None]
+        fx, fy = jax.jit(lambda m, w=winsize: pallas_smooth5_solve(m, w))(M)
+        rx, ry = _update_flow_gaussian_xla(M, winsize)
+        if not (
+            np.allclose(np.asarray(fx), np.asarray(rx), atol=1e-4)
+            and np.allclose(np.asarray(fy), np.asarray(ry), atol=1e-4)
+        ):
+            return False
+    return True
 
 
 def _update_flow_gaussian_xla(M: jax.Array, winsize: int):
