@@ -644,6 +644,10 @@ def _run_config(key, fn, headline=False, **kw):
 
 
 def main():
+    # --only 1,5b : run just those configs (cache warming / focused reruns)
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     if "--measure-cpu" in sys.argv:
         measured = {
             "1_feature_pair": measure_cpu_feature(),
@@ -659,19 +663,28 @@ def main():
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
 
+    def want(key):
+        return only is None or key.split("_")[0] in only
+
     # Headline first: its JSON line must hit stdout before anything slow.
-    _run_config("2_optflow_pair", bench_optflow_step, headline=True)
-    _run_config("4_zstack_apply", bench_zstack_apply)
-    _run_config("3_chained_mse", bench_chained,
-                with_mse=_elapsed() < _BUDGET_S - 90)
-    _run_config("1_feature_pair", bench_feature)
-    _run_config("5_20k_streamed", bench_20k)
-    if _elapsed() < _BUDGET_S - 240:  # the CLI run needs a real time slice
-        _run_config("5b_20k_cli", bench_20k_cli)
-    else:
-        _STATE["detail"]["configs"]["5b_20k_cli"] = {
-            "skipped": "insufficient remaining budget (needs ~240s)"
-        }
+    if want("2_optflow_pair"):
+        _run_config("2_optflow_pair", bench_optflow_step, headline=True)
+    if want("4_zstack_apply"):
+        _run_config("4_zstack_apply", bench_zstack_apply)
+    if want("3_chained_mse"):
+        _run_config("3_chained_mse", bench_chained,
+                    with_mse=_elapsed() < _BUDGET_S - 90)
+    if want("1_feature_pair"):
+        _run_config("1_feature_pair", bench_feature)
+    if want("5_20k_streamed"):
+        _run_config("5_20k_streamed", bench_20k)
+    if want("5b_20k_cli"):
+        if _elapsed() < _BUDGET_S - 240:  # the CLI run needs a real time slice
+            _run_config("5b_20k_cli", bench_20k_cli)
+        else:
+            _STATE["detail"]["configs"]["5b_20k_cli"] = {
+                "skipped": "insufficient remaining budget (needs ~240s)"
+            }
     _emit()
     return 0
 
