@@ -113,12 +113,14 @@ def _level_align_body(
     from microaligner_tpu.ops.affine_tiled import affine_warp_traced
 
     eye3 = jnp.eye(3, dtype=jnp.float32)
-    composed = eye3
     mov0 = mov_img
-    aligned = mov_img
     ref_gate_dog = dog_traced(ref_img, True)  # the MI gate always DoGs
-    diag = []
-    for _ in range(num_iterations):
+
+    # lax.scan over iterations: the body is shape-uniform, so XLA compiles it
+    # ONCE instead of ``num_iterations`` times — the unrolled version of this
+    # loop dominated the whole-register program's compile time (~3x).
+    def step(carry, _):
+        composed, aligned = carry
         det_in = dog_traced(aligned, use_dog)
         coords, desc, valid, _resp = _find_features_tiled_jit(det_in, grid, k, mesh)
         good, ref_idx = match_descriptors(ref_desc, desc, ref_valid, valid)
@@ -149,13 +151,18 @@ def _level_align_body(
             affine_warp_traced(mov0.astype(jnp.float32), composed[:2]), dtype_name
         )
         aligned = jnp.where(accept, realigned, aligned)
-        diag.append(jnp.stack([
+        diag_row = jnp.stack([
             n_good.astype(jnp.float32),
             jnp.sum(valid).astype(jnp.float32),
             after, before,
             accept.astype(jnp.float32),
-        ]))
-    return composed[:2], aligned, jnp.stack(diag)
+        ])
+        return (composed, aligned), diag_row
+
+    (composed, aligned), diag = jax.lax.scan(
+        step, (eye3, mov_img), None, length=num_iterations
+    )
+    return composed[:2], aligned, diag
 
 
 _level_align_fused = functools.partial(

@@ -126,6 +126,33 @@ class TestEndToEnd:
         after = np.mean((out[inner].astype(float) - ref[inner].astype(float)) ** 2)
         assert after < before * 0.1, f"before={before}, after={after}"
 
+    def test_fused_register_matches_legacy_driver(self, rng, monkeypatch):
+        """The whole-register fused program (_register_fused, one launch) must
+        agree with the legacy per-level host driver it replaced; the only
+        intended difference is device-f32 vs host-f64 matrix composition."""
+        ref = _textured(rng, 420, 440, sigma=2.0)
+        fwd = cv.getRotationMatrix2D((220.0, 210.0), 1.0, 1.0)
+        fwd[0, 2] += 6.0
+        fwd[1, 2] -= 4.0
+        mov = cv.warpAffine(ref, fwd, (440, 420))
+
+        def run():
+            reg = FeatureRegistrator()
+            reg.num_pyr_lvl = 2
+            reg.num_iterations = 2
+            reg.tile_size = 500
+            reg.use_full_res_img = True
+            reg.ref_img = ref
+            reg.mov_img = mov
+            return reg.register()
+
+        monkeypatch.setenv("MICROALIGNER_TPU_FUSED_REGISTER", "1")
+        fused = run()
+        monkeypatch.setenv("MICROALIGNER_TPU_FUSED_REGISTER", "0")
+        legacy = run()
+        np.testing.assert_allclose(fused[:, :2], legacy[:, :2], atol=1e-4)
+        np.testing.assert_allclose(fused[:, 2], legacy[:, 2], atol=0.05)
+
     def test_validity_gates(self):
         reg = FeatureRegistrator()
         assert not reg._check_if_proper_scale(np.array([[5.0, 0, 0], [0, 5.0, 0]]))
