@@ -30,6 +30,32 @@ class TestGaussianBlur:
         np.testing.assert_allclose(ours, theirs, rtol=0, atol=2e-5)
 
 
+class TestGaussianBlurMXU:
+    """gaussian_blur_mxu folds REFLECT_101 into dense blur operators; it must
+    match cv2.GaussianBlur exactly like the slice-FMA path, including kernels
+    longer than the image axis (iterated border fold)."""
+
+    @pytest.mark.parametrize("ksize,sigma", [(29, 3.5), (63, 7.77), (41, 5.0)])
+    def test_matches_opencv_f32(self, rng, ksize, sigma):
+        img = _rand_img(rng, dtype=np.float32)
+        ours = np.asarray(filters.gaussian_blur_mxu(img, ksize, sigma))
+        theirs = cv.GaussianBlur(img, (ksize, ksize), sigmaX=sigma, sigmaY=sigma)
+        np.testing.assert_allclose(ours, theirs, rtol=0, atol=2e-5)
+
+    def test_batched_channels_first(self, rng):
+        imgs = rng.random((3, 64, 72), dtype=np.float32)
+        ours = np.asarray(filters.gaussian_blur_mxu(imgs, 29, 3.5))
+        for c in range(3):
+            theirs = cv.GaussianBlur(imgs[c], (29, 29), sigmaX=3.5, sigmaY=3.5)
+            np.testing.assert_allclose(ours[c], theirs, rtol=0, atol=2e-5)
+
+    def test_kernel_longer_than_axis(self, rng):
+        img = _rand_img(rng, h=40, w=40, dtype=np.float32)
+        ours = np.asarray(filters.gaussian_blur_mxu(img, 63, 7.77))
+        theirs = cv.GaussianBlur(img, (63, 63), sigmaX=7.77, sigmaY=7.77)
+        np.testing.assert_allclose(ours, theirs, rtol=0, atol=3e-5)
+
+
 class TestMinMaxNormalize:
     def test_u8_matches_opencv(self, rng):
         img = rng.random((64, 64)).astype(np.float32) * 13 - 4
