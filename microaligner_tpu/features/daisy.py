@@ -74,12 +74,20 @@ def _blur_chw(x: jax.Array, sigma: float) -> jax.Array:
     128-lane axis (channels-last (H, W, 8) pads 8 -> 128 lanes, a 16x memory
     and VPU waste).
     """
+    import os
+
     ksize = int(round(sigma * 4)) * 2 + 1
     if ksize >= 13 and min(x.shape[-2:]) > (ksize - 1) // 2:
         # DEFAULT precision (bf16 inputs, f32 accumulation): descriptors only
         # need implementation consistency between ref and mov, and the smooth
-        # ring layers tolerate 0.4% relative rounding; ~6x MXU rate vs f32
-        return gaussian_blur_mxu(x, ksize, sigma, precision=jax.lax.Precision.DEFAULT)
+        # ring layers tolerate 0.4% relative rounding; ~6x MXU rate vs f32.
+        # MICROALIGNER_TPU_DAISY_EXACT=1 forces full-f32 matmuls (same math
+        # as the FMA path) — used by scripts/tpu_parity_check.py --feature to
+        # bound the bf16 descriptor perturbation on hardware.  Read at trace
+        # time: set it before the first register() call.
+        exact = os.environ.get("MICROALIGNER_TPU_DAISY_EXACT", "0") == "1"
+        prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+        return gaussian_blur_mxu(x, ksize, sigma, precision=prec)
     k = gaussian_kernel(ksize, sigma)
     r = (ksize - 1) // 2
 

@@ -36,7 +36,16 @@ def knn_top2(query: jax.Array, train: jax.Array, q_valid: jax.Array, t_valid: ja
     nchunks = qp.shape[0] // chunk
     # bf16 operands for the cross-term matmul (see note in the loop body);
     # only on TPU — CPU bf16 matmuls are emulated and slower than f32.
-    lp_dtype = jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    # MICROALIGNER_TPU_MATCH_F32=1 keeps f32 on TPU too (parity checks; read
+    # at trace time — set before the first register() call).
+    import os
+
+    force_f32 = os.environ.get("MICROALIGNER_TPU_MATCH_F32", "0") == "1"
+    lp_dtype = (
+        jnp.float32
+        if force_f32 or jax.default_backend() == "cpu"
+        else jnp.bfloat16
+    )
     qp_lp = qp.astype(lp_dtype)
     train_lp = train.astype(lp_dtype)
 

@@ -342,6 +342,12 @@ class FeatureRegistrator:
         factors = [2 ** (lvl + 1) for lvl in reversed(range(n_lvl))]
         if self.use_full_res_img:
             factors.append(1)
+        if not factors:
+            raise ValueError(
+                f"Image {shape} is too small for any pyramid level (min dim "
+                "100 px after downscale) and use_full_res_img is False; "
+                "enable use_full_res_img or reduce num_pyr_lvl"
+            )
         return factors
 
     def calc_ref_img_features(self):
@@ -472,6 +478,12 @@ class FeatureRegistrator:
         if self.use_full_res_img:
             pyramid.append(jnp.asarray(arr))
             factors.append(1)
+        if not factors:
+            raise ValueError(
+                f"Image {tuple(arr.shape)} is too small for any pyramid level "
+                "(min dim 100 px after downscale) and use_full_res_img is "
+                "False; enable use_full_res_img or reduce num_pyr_lvl"
+            )
         return pyramid, factors
 
     def _transform_img_dev(self, img: jax.Array, t_mat: np.ndarray) -> jax.Array:

@@ -49,7 +49,7 @@ def stream_apply(
     write_fn: Callable[[object, np.ndarray], None],
     depth: int = 2,
     prefetch: int = 2,
-    join_timeout_s: float = 600.0,
+    join_timeout_s: float | None = None,
 ):
     """For each ``(key, plane)``: write ``device_fn(plane)`` via ``write_fn``.
 
@@ -57,6 +57,12 @@ def stream_apply(
     results stay in flight while the reader thread decodes + ``device_put``\\ s
     the next ``prefetch`` planes and the writer thread drains finished ones.
     """
+    if join_timeout_s is None:
+        import os
+
+        join_timeout_s = float(
+            os.environ.get("MICROALIGNER_TPU_WRITER_TIMEOUT_S", "600")
+        )
     rq: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     wq: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     read_errors: list = []
@@ -74,6 +80,10 @@ def stream_apply(
         finally:
             _checked_put(rq, _STOP, done.is_set)
 
+    import time as _time
+
+    progress = [_time.monotonic()]  # last time the writer completed an item
+
     def writer():
         while True:
             item = wq.get()
@@ -81,7 +91,9 @@ def stream_apply(
                 return
             key, dev = item
             try:
+                progress[0] = _time.monotonic()  # starting an item is progress
                 write_fn(key, np.asarray(jax.device_get(dev)))
+                progress[0] = _time.monotonic()
             except Exception as e:  # propagate to the caller
                 write_errors.append(e)
                 return
@@ -103,7 +115,16 @@ def stream_apply(
         done.set()  # unblocks a reader stuck on a full rq
         if not write_errors:
             wq.put(_STOP)
-        wt.join(timeout=join_timeout_s)
+        # Join in slices and only give up when the writer has made NO progress
+        # for ``join_timeout_s`` — a big plane crossing a slow link is "slow",
+        # a dead NFS mount is "hung"; a fixed-length join can't tell them
+        # apart (it fired on an 800 MB device_get over the dev tunnel).
+        while True:
+            wt.join(timeout=min(30.0, join_timeout_s))
+            if not wt.is_alive():
+                break
+            if _time.monotonic() - progress[0] > join_timeout_s:
+                break
         rt.join(timeout=join_timeout_s)
     if write_errors:
         raise write_errors[0]
@@ -111,6 +132,6 @@ def stream_apply(
         raise read_errors[0]
     if wt.is_alive():
         raise RuntimeError(
-            f"stream_apply: writer thread still running after {join_timeout_s}s "
-            "join timeout — output sink appears hung; planes may be unwritten"
+            f"stream_apply: writer thread made no progress for {join_timeout_s}s "
+            "— output sink appears hung; planes may be unwritten"
         )

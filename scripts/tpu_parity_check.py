@@ -9,7 +9,8 @@ warper.py), using the same bars as tests/test_farneback.py: flow mean abs
 diff < 1e-3 px, max < 0.05 px; warped-plane MSE < 1e-3 (BASELINE.md target).
 
 Run:  python scripts/tpu_parity_check.py [size]
-      python scripts/tpu_parity_check.py --sweep   # winsize/size matrix
+      python scripts/tpu_parity_check.py --sweep     # winsize/size matrix
+      python scripts/tpu_parity_check.py --feature   # bf16 feature path vs f32
 
 The sweep mode exists because the DEFAULT (single-pass bf16) aggregation
 precision was originally validated at one point (2048² win99): the
@@ -98,6 +99,100 @@ def _sweep() -> int:
     return 0 if all_ok else 1
 
 
+def _feature_child(out_path: str) -> int:
+    """Child-process half of --feature: run the feature pipeline pieces with
+    either production (bf16) or exact (f32) precision and save outputs.
+
+    Subprocesses because the precision knobs are read at trace time and the
+    jit cache would otherwise serve the first variant's program to both.
+    """
+    import cv2 as cv
+    import jax
+    import jax.numpy as jnp
+
+    from microaligner_tpu.features import FeatureRegistrator
+    from microaligner_tpu.features.tile_features import find_features
+    from microaligner_tpu.features.match import knn_top2
+
+    size = 1024
+    rng = np.random.default_rng(11)
+    base = cv.GaussianBlur(rng.random((size, size), dtype=np.float32), (0, 0), 3.0)
+    ref = cv.normalize(base, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+    t_true = np.float32([[1.0004, 0.0003, 6.4], [-0.0003, 1.0004, -9.1]])
+    mov = cv.warpAffine(ref, t_true, (size, size))
+
+    fr = find_features(ref, 1000)
+    fm = find_features(mov, 1000)
+    d1, d2, i1 = knn_top2(fm.descriptors, fr.descriptors, fm.valid, fr.valid)
+
+    reg = FeatureRegistrator()
+    reg.num_pyr_lvl = 2
+    reg.num_iterations = 3
+    reg.tile_size = 1000
+    reg.use_dog = True
+    reg.ref_img = ref
+    reg.mov_img = mov
+    tmat = reg.register()
+
+    np.savez(
+        out_path,
+        desc=np.asarray(fr.descriptors),
+        valid=np.asarray(fr.valid),
+        d1=np.asarray(d1), d2=np.asarray(d2), i1=np.asarray(i1),
+        tmat=np.asarray(tmat), t_true=t_true,
+    )
+    return 0
+
+
+def _feature() -> int:
+    """Production bf16 feature path vs exact f32 on hardware.
+
+    Bars: descriptor max abs diff < 5e-3 (unit-normalized, bf16 argument in
+    features/match.py), knn nearest-neighbor agreement > 99% on valid rows,
+    both registers recover the known transform to < 0.5 px translation.
+    """
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = {}
+        for name, env in (
+            ("prod", {}),
+            ("exact", {"MICROALIGNER_TPU_DAISY_EXACT": "1",
+                       "MICROALIGNER_TPU_MATCH_F32": "1"}),
+        ):
+            out = os.path.join(td, f"{name}.npz")
+            e = dict(os.environ, **env)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--feature-child", out],
+                env=e, capture_output=True, text=True, timeout=1800,
+            )
+            if r.returncode != 0:
+                print(r.stdout[-2000:], r.stderr[-2000:])
+                return 1
+            paths[name] = np.load(out)
+        p, x = paths["prod"], paths["exact"]
+        both_valid = p["valid"] & x["valid"]
+        dd = np.abs(p["desc"] - x["desc"])[both_valid].max() if both_valid.any() else 0.0
+        # raw top-1 agreement is the wrong bar on dense random-texture
+        # descriptors (near-tie distances flip freely and are then DISCARDED
+        # by the ratio test); compare only matches that pass Lowe 0.5 in both
+        r2 = 0.5 * 0.5
+        gp = (p["d1"] < r2 * p["d2"]) & both_valid
+        gx = (x["d1"] < r2 * x["d2"]) & both_valid
+        gboth = gp & gx
+        agree = float((p["i1"][gboth] == x["i1"][gboth]).mean()) if gboth.any() else 1.0
+        jacc = float(gboth.sum() / max((gp | gx).sum(), 1))
+        ep = np.abs(p["tmat"][:, 2] + p["t_true"][:, 2]).sum()
+        ex = np.abs(x["tmat"][:, 2] + x["t_true"][:, 2]).sum()
+        print(f"descriptor max abs diff (both-valid): {dd:.2e}")
+        print(f"good-match sets: jaccard {jacc:.4f}, i1 agreement on both-good {agree:.4f}")
+        print(f"translation err: prod {ep:.3f} px, exact {ex:.3f} px")
+        ok = dd < 5e-3 and agree > 0.99 and jacc > 0.9 and ep < 0.5 and ex < 0.5
+        print("FEATURE PARITY:", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
+
+
 def main() -> int:
     import cv2 as cv
     import jax
@@ -164,4 +259,11 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(_sweep() if "--sweep" in sys.argv else main())
+    if "--feature-child" in sys.argv:
+        sys.exit(_feature_child(sys.argv[sys.argv.index("--feature-child") + 1]))
+    elif "--feature" in sys.argv:
+        sys.exit(_feature())
+    elif "--sweep" in sys.argv:
+        sys.exit(_sweep())
+    else:
+        sys.exit(main())

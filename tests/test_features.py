@@ -153,6 +153,18 @@ class TestEndToEnd:
         np.testing.assert_allclose(fused[:, :2], legacy[:, :2], atol=1e-4)
         np.testing.assert_allclose(fused[:, 2], legacy[:, 2], atol=0.05)
 
+    def test_too_small_for_pyramid_raises_clearly(self):
+        import microaligner_tpu as ma
+
+        img = np.full((150, 150), 128, np.uint8)
+        for reg in (ma.FeatureRegistrator(), ma.OptFlowRegistrator()):
+            reg.num_pyr_lvl = 2
+            reg.use_full_res_img = False
+            reg.ref_img = img
+            reg.mov_img = img
+            with pytest.raises(ValueError, match="too small for any pyramid"):
+                reg.register()
+
     def test_validity_gates(self):
         reg = FeatureRegistrator()
         assert not reg._check_if_proper_scale(np.array([[5.0, 0, 0], [0, 5.0, 0]]))

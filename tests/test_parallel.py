@@ -125,7 +125,7 @@ class TestStreamApply:
         from microaligner_tpu.pipeline.apply import stream_apply
 
         release = threading.Event()
-        with pytest.raises(RuntimeError, match="writer thread still running"):
+        with pytest.raises(RuntimeError, match="made no progress"):
             stream_apply(
                 iter([(0, np.zeros((4, 4), np.float32))]),
                 lambda p: jnp.asarray(p),
