@@ -182,6 +182,75 @@ def _fused_level_carry(
     )
 
 
+def _build_pyramid(arr, num_pyr_lvl: int, use_full_res: bool):
+    """Smallest-first Gaussian pyramid, traceable under an outer jit (every
+    decision depends only on static shapes; optflow_registrator.py:175-202)."""
+    pyramid: List = []
+    factors: List[int] = []
+    pyr_lvl = jnp.asarray(arr)
+    for lvl in range(num_pyr_lvl):
+        factor = 2 ** (lvl + 1)
+        if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
+            break
+        pyr_lvl = pyr_down(pyr_lvl)
+        pyramid.append(pyr_lvl)
+        factors.append(factor)
+    factors = list(reversed(factors))
+    pyramid = list(reversed(pyramid))
+    if use_full_res:
+        pyramid.append(jnp.asarray(arr))
+        factors.append(1)
+    return pyramid, factors
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_pyr_lvl", "use_full_res", "tile_size", "overlap",
+        "win_size", "num_iter", "use_dog", "dtype_name", "reject_mult",
+    ),
+)
+def _register_whole(
+    ref_img, mov_img,
+    num_pyr_lvl, use_full_res, tile_size, overlap,
+    win_size, num_iter, use_dog, dtype_name, reject_mult,
+):
+    """The ENTIRE multi-level registration as ONE device program: both
+    pyramids, every level's pre-warp/DoG/Farneback/gate, the on-device
+    accept/reject carry, composition, and the final upscale.  The host sees
+    a single launch and one batched scalar fetch (the per-level MI scores
+    for logging) — mirrors the feature engine's ``_register_fused``.  The
+    per-level path (``MICROALIGNER_TPU_WHOLE_REGISTER=0``) is kept for
+    stage-level profiling and A/B timing.
+    """
+    ref_pyr, factors = _build_pyramid(ref_img, num_pyr_lvl, use_full_res)
+    mov_pyr, _ = _build_pyramid(mov_img, num_pyr_lvl, use_full_res)
+
+    num_lvl = len(factors)
+    full_shape = tuple(int(s) for s in mov_img.shape)
+    m_flow = jnp.zeros((1, 1, 2), jnp.float32)  # dummy until level 0 runs
+    scores = []
+    for lvl in range(num_lvl):
+        shape = tuple(int(s) for s in mov_pyr[lvl].shape)
+        grid = TileGrid.for_image(shape, tile_size, overlap)
+        is_first = lvl == 0
+        is_last = lvl == num_lvl - 1
+        next_shape = (
+            full_shape if is_last
+            else tuple(int(s) for s in mov_pyr[lvl + 1].shape)
+        )
+        m_flow, mi_after, mi_before = _fused_level_carry(
+            ref_pyr[lvl], mov_pyr[lvl], m_flow,
+            grid, win_size, num_iter, use_dog,
+            tile_size, not is_first, max(shape) / tile_size < 2,
+            dtype_name,
+            is_first, is_last, next_shape, full_shape,
+            use_full_res, reject_mult,
+        )
+        scores.append((mi_after, mi_before))
+    return m_flow, scores
+
+
 class OptFlowRegistrator:
     def __init__(self):
         self._ref_img = np.array([])
@@ -228,13 +297,23 @@ class OptFlowRegistrator:
     def register(self) -> np.ndarray:
         """Returns the full-resolution (H, W, 2) flow aligning mov to ref.
 
+        Host-array API matching the reference (optflow_registrator.py:93).
+        Downstream device-side consumers (the pipeline's warp/apply stages)
+        should prefer :meth:`register_device`, which skips the full-flow
+        fetch — 3.2 GB of f32 at 20k x 20k.
+        """
+        return np.asarray(jax.device_get(self.register_device()))
+
+    def register_device(self) -> jax.Array:
+        """:meth:`register` but the flow stays on device.
+
         The accumulated flow is carried on device through the whole level
-        loop (``_fused_level_carry``): one launch per pyramid level, one
-        final fetch, and the MI gate scalars are read back in a single batch
-        at the end for logging — essential at 20k x 20k where a single
-        full-res f32 flow is 3.2 GB, and on any backend where launches cost
-        more than microseconds.  ``MICROALIGNER_TPU_CARRY_LEVEL=0`` restores
-        the host-driven accept/reject loop.
+        loop (``_fused_level_carry``): one launch per pyramid level, and the
+        MI gate scalars are read back in a single batch at the end for
+        logging — essential at 20k x 20k where a single full-res f32 flow is
+        3.2 GB, and on any backend where launches cost more than
+        microseconds.  ``MICROALIGNER_TPU_CARRY_LEVEL=0`` restores the
+        host-driven accept/reject loop.
         """
         import os
 
@@ -242,7 +321,9 @@ class OptFlowRegistrator:
         check_img_is_provided(self._mov_img, "mov")
         check_img_dims_match(self._ref_img, self._mov_img)
         if os.environ.get("MICROALIGNER_TPU_CARRY_LEVEL", "1") == "0":
-            return self._register_stepwise()
+            return jnp.asarray(self._register_stepwise())
+        if os.environ.get("MICROALIGNER_TPU_WHOLE_REGISTER", "1") == "1":
+            return self._register_whole_launch()
 
         self._init_components()
         win_size = self.overlap - (1 - self.overlap % 2)
@@ -276,15 +357,58 @@ class OptFlowRegistrator:
                 _profile_sync(mi_after)
             scores.append((factor, mi_after, mi_before))
 
-        out, fetched = jax.device_get(
-            (m_flow, [(a, b) for _, a, b in scores])
-        )
+        fetched = jax.device_get([(a, b) for _, a, b in scores])
         for (factor, _, _), (mi_after, mi_before) in zip(scores, fetched):
             log("Pyramid factor", factor)
             log("    MI score after:", float(mi_after), "| MI score before:", float(mi_before))
             log("    Better alignment than before" if mi_after > mi_before
                 else "    Worse alignment than before")
-        return np.asarray(out)
+        return m_flow
+
+    def _register_whole_launch(self) -> jax.Array:
+        """One launch for the whole registration (see ``_register_whole``)."""
+        self._init_components()
+        win_size = self.overlap - (1 - self.overlap % 2)
+        shape = tuple(int(s) for s in self._ref_img.shape)
+        # host-side feasibility checks (same errors as _generate_img_pyr,
+        # raised before any device work)
+        if self.num_pyr_lvl < 0:
+            raise ValueError("Number of pyramid levels cannot be less than 0")
+        if self.num_pyr_lvl == 0 and not self.use_full_res_img:
+            raise ValueError(
+                "Number of pyramid levels is 0 and use_full_res_img is False. "
+                "Please change one of the parameters"
+            )
+        factors = [
+            2 ** (lvl + 1)
+            for lvl in range(self.num_pyr_lvl)
+            if shape[0] / 2 ** (lvl + 1) >= 100 and shape[1] / 2 ** (lvl + 1) >= 100
+        ]
+        factors = list(reversed(factors)) + ([1] if self.use_full_res_img else [])
+        if not factors:
+            raise ValueError(
+                f"Image {shape} is too small for any pyramid level "
+                "(min dim 100 px after downscale) and use_full_res_img is "
+                "False; enable use_full_res_img or reduce num_pyr_lvl"
+            )
+
+        with stage_timer("whole register (1 launch)"):
+            m_flow, scores = _register_whole(
+                jnp.asarray(self._ref_img), jnp.asarray(self._mov_img),
+                self.num_pyr_lvl, self.use_full_res_img,
+                self.tile_size, self.overlap,
+                win_size, self.num_iterations, self.use_dog,
+                np.dtype(self._mov_img.dtype).name,
+                4 if self.replicate_reject_upscale_bug else 2,
+            )
+            _profile_sync(m_flow)
+        fetched = jax.device_get(scores)
+        for factor, (mi_after, mi_before) in zip(factors, fetched):
+            log("Pyramid factor", factor)
+            log("    MI score after:", float(mi_after), "| MI score before:", float(mi_before))
+            log("    Better alignment than before" if mi_after > mi_before
+                else "    Worse alignment than before")
+        return m_flow
 
     def _register_stepwise(self) -> np.ndarray:
         """Host-driven accept/reject loop (pre-carry path; kept for A/B
@@ -377,21 +501,15 @@ class OptFlowRegistrator:
                 "Number of pyramid levels is 0 and use_full_res_img is False. "
                 "Please change one of the parameters"
             )
-        pyramid: List = []
-        factors: List[int] = []
-        pyr_lvl = jnp.asarray(arr)
-        for lvl in range(self.num_pyr_lvl):
-            factor = 2 ** (lvl + 1)
-            if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
-                break
-            pyr_lvl = pyr_down(pyr_lvl)
-            pyramid.append(pyr_lvl)
-            factors.append(factor)
-        factors = list(reversed(factors))
-        pyramid = list(reversed(pyramid))
-        if self.use_full_res_img:
-            pyramid.append(jnp.asarray(arr))
-            factors.append(1)
+        pyramid, factors = _build_pyramid(arr, self.num_pyr_lvl, self.use_full_res_img)
+        if not factors:
+            # without this the level loop would not run and register() would
+            # silently return the (1, 1, 2) dummy flow
+            raise ValueError(
+                f"Image {tuple(arr.shape)} is too small for any pyramid level "
+                "(min dim 100 px after downscale) and use_full_res_img is "
+                "False; enable use_full_res_img or reduce num_pyr_lvl"
+            )
         return pyramid, factors
 
     def _upscale_flow_to_full_res(self, flow: np.ndarray, pyramid_factor: int) -> np.ndarray:

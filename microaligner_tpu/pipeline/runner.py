@@ -363,16 +363,20 @@ def register_and_save_ofreg_imgs(
             mov_img = read_and_max_project_pages(paths, pages)
             ofreg.ref_img = ref_img
             ofreg.mov_img = mov_img
-            flow = ofreg.register()
+            # the flow never visits the host: register_device() hands the
+            # device array straight to the warp/apply stages (a host round
+            # trip is 2 x 3.2 GB of f32 at 20k x 20k)
+            flow_dev = ofreg.register_device()
             warper.image = mov_img
-            warper.flow = flow
-            ref_img = warper.warp()  # next cycle registers against this
+            warper.flow = flow_dev
+            # next cycle registers against this; stays on device (its only
+            # consumer is the next register_device call)
+            ref_img = warper.warp_device()
             log(f"Saving Cycle {cyc} [{cyc_id + 1}/{len(cycles)}]")
             from microaligner_tpu.pipeline.apply import stream_apply
             from microaligner_tpu.tiles import TileGrid
 
-            grid = TileGrid.for_image(flow.shape[:2], tile_size, overlap)
-            flow_dev = jnp.asarray(flow)
+            grid = TileGrid.for_image(tuple(flow_dev.shape[:2]), tile_size, overlap)
 
             def planes():
                 for ch_id, ch in enumerate(struct.tiff_pages[cyc]):

@@ -122,6 +122,74 @@ class TestOptFlowRegistrator:
         after = np.mean((warped[inner].astype(float) - ref[inner].astype(float)) ** 2)
         assert after < before * 0.25, f"before={before}, after={after}"
 
+    def test_register_device_matches_register(self, rng):
+        """register() is documented as register_device() + fetch; pin it,
+        and pin warp_device() == warp() including integer round/clip and a
+        device-array ref_img input (how pipeline/runner.py chains cycles)."""
+        import jax
+        import jax.numpy as jnp
+
+        ref = _textured(rng, 260, 240)
+        ys, xs = np.mgrid[0:260, 0:240].astype(np.float32)
+        mov = cv.remap(ref, xs + 1.5, ys - 1.0, cv.INTER_LINEAR)
+
+        def make():
+            reg = OptFlowRegistrator()
+            reg.num_pyr_lvl = 1
+            reg.num_iterations = 2
+            reg.tile_size = 130
+            reg.overlap = 40
+            reg.use_full_res_img = True
+            return reg
+
+        reg = make()
+        reg.ref_img = ref
+        reg.mov_img = mov
+        host_flow = reg.register()
+
+        reg = make()
+        reg.ref_img = jnp.asarray(ref)  # device-resident ref, as in the runner
+        reg.mov_img = mov
+        dev_flow = reg.register_device()
+        assert isinstance(dev_flow, jax.Array)
+        np.testing.assert_array_equal(host_flow, np.asarray(jax.device_get(dev_flow)))
+
+        w = Warper()
+        w.tile_size = 130
+        w.overlap = 40
+        w.image = mov
+        w.flow = host_flow
+        host_warp = w.warp()
+        w.image = jnp.asarray(mov)
+        w.flow = dev_flow
+        dev_warp = w.warp_device()
+        assert dev_warp.dtype == jnp.uint8
+        np.testing.assert_array_equal(host_warp, np.asarray(jax.device_get(dev_warp)))
+
+    def test_whole_register_matches_per_level(self, rng, monkeypatch):
+        """The one-launch _register_whole program equals the per-level carry
+        loop (same ops, different launch granularity)."""
+        ref = _textured(rng, 420, 400)
+        ys, xs = np.mgrid[0:420, 0:400].astype(np.float32)
+        mov = cv.remap(ref, xs + 2.0, ys - 1.5, cv.INTER_LINEAR)
+
+        def run():
+            reg = OptFlowRegistrator()
+            reg.num_pyr_lvl = 1
+            reg.num_iterations = 2
+            reg.tile_size = 150
+            reg.overlap = 40
+            reg.use_full_res_img = True
+            reg.ref_img = ref
+            reg.mov_img = mov
+            return reg.register()
+
+        monkeypatch.setenv("MICROALIGNER_TPU_WHOLE_REGISTER", "0")
+        per_level = run()
+        monkeypatch.setenv("MICROALIGNER_TPU_WHOLE_REGISTER", "1")
+        whole = run()
+        np.testing.assert_allclose(whole, per_level, atol=1e-4)
+
     def test_mov_getter_fixed(self, rng):
         reg = OptFlowRegistrator()
         a = _textured(rng, 120, 120)
