@@ -61,12 +61,15 @@ def pallas_update_matrices(
 ) -> jax.Array:
     """Fused banded-sample + matrix combine.
 
-    ``R0``/``R1`` are (N, 5, H, W) float32 polynomial expansions; ``fx``/``fy``
-    (N, H, W) float32 flow components (integer/fractional split happens in
-    kernel).  Returns M = (N, 5, H, W) channels [G11,G12,G22,h1,h2] in
-    ``out_dtype`` (bf16 storage halves the aggregation chain's HBM read —
-    see farneback._m_storage_dtype).  Requires H >= 2*band + 1 (callers gate
-    on this).
+    ``R0``/``R1`` are (N, 5, H, W) polynomial expansions in f32 or bf16
+    (bf16 storage halves the stage's dominant HBM read — R1 is fetched twice
+    per row block via the two overlapping views; see
+    farneback._r_storage_dtype); loads are converted to f32 in VMEM, so all
+    arithmetic is f32 either way.  ``fx``/``fy`` are (N, H, W) float32 flow
+    components (integer/fractional split happens in kernel).  Returns
+    M = (N, 5, H, W) channels [G11,G12,G22,h1,h2] in ``out_dtype`` (see
+    farneback._m_storage_dtype).  Requires H >= 2*band + 1 (callers gate on
+    this).
     """
     n, c, h, w = R0.shape
     assert c == 5
@@ -123,14 +126,14 @@ def _kernel(
     out_ref, slab_ref, acc_ref, cd_ref,
 ):
     pad = band + 1
-    r0 = r0_ref[0]  # (5, rb, w)
+    r0 = r0_ref[0].astype(jnp.float32)  # (5, rb, w); f32 compute for bf16 storage
     # stage the two consecutive row-block views into one VMEM slab so the
     # row loop below can take dynamic rotates of it (Mosaic has no
     # dynamic_slice on values, only on refs, and unaligned static sublane
     # windows of a ref lower as slow copies — measured 3x worse than the
-    # rotate on v5e)
-    slab_ref[:, :rb, :] = r1a_ref[0]
-    slab_ref[:, rb:, :] = r1b_ref[0]
+    # rotate on v5e); the store converts bf16 loads to the f32 scratch
+    slab_ref[:, :rb, :] = r1a_ref[0].astype(jnp.float32)
+    slab_ref[:, rb:, :] = r1b_ref[0].astype(jnp.float32)
     fx = fx_ref[0]
     fy = fy_ref[0]
     dxi = jnp.floor(fx).astype(jnp.int32)

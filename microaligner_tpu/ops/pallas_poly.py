@@ -148,23 +148,29 @@ def _edge_scale(i, size):
     return lead * trail
 
 
-@functools.partial(jax.jit, static_argnames=("coeffs", "m_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("coeffs", "m_dtype", "r_dtype", "interpret")
+)
 def pallas_poly_pair_m(
     sp0: jax.Array,
     sp1: jax.Array,
     coeffs: tuple,
     m_dtype=jnp.float32,
+    r_dtype=jnp.float32,
     interpret: bool = False,
 ):
     """Fused polynomial expansion of BOTH images + the zero-flow matrix
     combine: (N, H+2, W+2) pre-smoothed replicate-padded pair ->
-    (R0, R1, M0) with R0/R1 (N, 5, H, W) f32 and M0 (N, 5, H, W) ``m_dtype``.
+    (R0, R1, M0) with R0/R1 (N, 5, H, W) ``r_dtype`` and M0 (N, 5, H, W)
+    ``m_dtype``.
 
     The first Farneback iteration's normal equations sample R1 at zero flow
     (reference compute: FarnebackPolyExp + the first FarnebackUpdateMatrices
     behind cv.calcOpticalFlowFarneback), so R0/R1 are combined into M0 while
     still in VMEM — the separate XLA combine stage re-read both full 5-plane
-    stacks from HBM.
+    stacks from HBM.  The combine always runs in f32 (M0 is computed from the
+    pre-rounding values; ``r_dtype`` rounding applies to what later update
+    iterations READ — see farneback._r_storage_dtype).
     """
     n, hp2, wp2 = sp0.shape
     h, w = hp2 - 2, wp2 - 2
@@ -187,8 +193,8 @@ def pallas_poly_pair_m(
     r0, r1, m0 = pl.pallas_call(
         functools.partial(_pair_kernel, rb, h, w, coeffs),
         out_shape=(
-            jax.ShapeDtypeStruct((n, 5, hp, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, 5, hp, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, 5, hp, w), r_dtype),
+            jax.ShapeDtypeStruct((n, 5, hp, w), r_dtype),
             jax.ShapeDtypeStruct((n, 5, hp, w), m_dtype),
         ),
         grid=grid,
@@ -203,8 +209,8 @@ def _pair_kernel(rb, h, w, coeffs, a0_ref, b0_ref, a1_ref, b1_ref, r0_ref, r1_re
     c0 = _moments5(rb, w, coeffs, a0_ref, b0_ref)  # mov expansion -> R0
     c1 = _moments5(rb, w, coeffs, a1_ref, b1_ref)  # ref expansion -> R1
     for i in range(5):
-        r0_ref[0, i] = c0[i]
-        r1_ref[0, i] = c1[i]
+        r0_ref[0, i] = c0[i].astype(r0_ref.dtype)
+        r1_ref[0, i] = c1[i].astype(r1_ref.dtype)
 
     # zero-flow combine (mirrors farneback._update_matrices_zero_flow_cf):
     # dx = dy = 0, sampled R1 is R1 itself, inb = stencil inside the image

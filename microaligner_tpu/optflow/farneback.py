@@ -220,7 +220,9 @@ def _poly_pair_m_pallas(
     sp0 = jnp.pad(s0, ((0, 0), (1, 1), (1, 1)), mode="edge")
     sp1 = jnp.pad(s1, ((0, 0), (1, 1), (1, 1)), mode="edge")
     return pallas_poly_pair_m(
-        sp0, sp1, _poly_coeff_tuple(n, sigma), m_dtype=_m_storage_dtype(win_size)
+        sp0, sp1, _poly_coeff_tuple(n, sigma),
+        m_dtype=_m_storage_dtype(win_size),
+        r_dtype=_r_storage_dtype(win_size),
     )
 
 
@@ -232,9 +234,27 @@ def _pallas_polypair_self_test_body() -> bool:
     r0w = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(movs)
     r1w = jax.vmap(lambda x: _poly_exp_cf(_pre_smooth(x), 1, 1.7))(refs)
     mw = jax.vmap(_update_matrices_zero_flow_cf)(r0w, r1w)
+    # R0/R1 may be stored bf16 (MICROALIGNER_TPU_R_BF16): compare the kernel
+    # output against the f32 reference rounded the same way.  Near-identical
+    # f32 values can straddle a bf16 grid boundary and round apart by 1 ulp
+    # (~0.4% relative), so the bf16 bar is relative, not the f32 atol.
+    rdt = _r_storage_dtype()
+    r0w = r0w.astype(rdt)
+    r1w = r1w.astype(rdt)
+    if rdt == jnp.bfloat16:
+        r_ok = np.allclose(
+            np.asarray(r0g, np.float32), np.asarray(r0w, np.float32),
+            rtol=1e-2, atol=0.1,
+        ) and np.allclose(
+            np.asarray(r1g, np.float32), np.asarray(r1w, np.float32),
+            rtol=1e-2, atol=0.1,
+        )
+    else:
+        r_ok = np.allclose(
+            np.asarray(r0g), np.asarray(r0w), atol=1e-3
+        ) and np.allclose(np.asarray(r1g), np.asarray(r1w), atol=1e-3)
     return bool(
-        np.allclose(np.asarray(r0g), np.asarray(r0w), atol=1e-3)
-        and np.allclose(np.asarray(r1g), np.asarray(r1w), atol=1e-3)
+        r_ok
         # M may be stored bf16; both paths round from near-identical f32
         and np.allclose(
             np.asarray(mg, np.float32), np.asarray(mw, np.float32),
@@ -268,8 +288,14 @@ def _edge_scale_map(h: int, w: int) -> jax.Array:
 def _combine_matrices_cf(R0, dx, dy, samp, inb) -> jax.Array:
     """Normal equations M = [G11, G12, G22, h1, h2], channels-first.
 
+    ``R0``/``samp`` may arrive in the bf16 storage dtype
+    (_r_storage_dtype); compute is always f32 — same contract as the Mosaic
+    kernel, which converts its loads in VMEM.
+
     ``R0``/``samp`` are (5, H, W); ``dx``/``dy``/``inb`` are (H, W).
     """
+    R0 = R0.astype(jnp.float32)
+    samp = samp.astype(jnp.float32)
     h, w = R0.shape[-2:]
     r2 = jnp.where(inb, samp[0], 0.0)
     r3 = jnp.where(inb, samp[1], 0.0)
@@ -345,8 +371,11 @@ def _pallas_matrices_self_test_body() -> bool:
     from microaligner_tpu.ops.pallas_matrices import pallas_update_matrices
 
     rng = np.random.default_rng(0)
-    R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32)
-    R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32)
+    # exercise the PRODUCTION R storage dtype: both paths convert their loads
+    # to f32, so kernel-vs-XLA stays tight even when storage is bf16
+    rdt = _r_storage_dtype()
+    R0 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32).astype(rdt)
+    R1 = jnp.asarray(rng.standard_normal((2, 5, 64, 320)), jnp.float32).astype(rdt)
     # displacements span most of the production band (_BAND_PALLAS = 7)
     fx = jnp.asarray((rng.random((2, 64, 320)) - 0.5) * 13, jnp.float32)
     fy = jnp.asarray((rng.random((2, 64, 320)) - 0.5) * 13, jnp.float32)
@@ -361,7 +390,8 @@ def _update_matrices_banded_xla(R0, R1, fx, fy, band):
 
     h, w = fx.shape[-2:]
     flow = jnp.stack([fx, fy], axis=-1)
-    R1_cl = jnp.moveaxis(R1, 1, -1)
+    # f32 sampling regardless of the R storage dtype (kernel contract)
+    R1_cl = jnp.moveaxis(R1.astype(jnp.float32), 1, -1)
     samp_cl = jax.vmap(lambda im, fl: _sample_banded_one(im, fl, band))(R1_cl, flow)
     samp = jnp.moveaxis(samp_cl, -1, 1)
     inb = _inbounds_map(fx, fy, h, w)
@@ -428,7 +458,9 @@ def _update_matrices_batched_cf(R0, R1, fx, fy, win_size: int = 99):
         from microaligner_tpu.ops.warp import _sample_take_one
 
         flow = jnp.stack([fx_, fy_], axis=-1)
-        samp_cl = jax.vmap(_sample_take_one)(jnp.moveaxis(R1_, 1, -1), flow)
+        samp_cl = jax.vmap(_sample_take_one)(
+            jnp.moveaxis(R1_.astype(jnp.float32), 1, -1), flow
+        )
         samp = jnp.moveaxis(samp_cl, -1, 1)
         inb = _inbounds_map(fx_, fy_, h, w)
         return jax.vmap(_combine_matrices_cf)(R0_, fx_, fy_, samp, inb).astype(m_dt)
@@ -670,6 +702,34 @@ def _m_storage_dtype(winsize: int = _BF16_MIN_WINSIZE):
     return jnp.bfloat16
 
 
+def _r_storage_dtype(winsize: int = _BF16_MIN_WINSIZE):
+    """Storage dtype for the polynomial-expansion planes R0/R1 between the
+    expansion and the per-iteration matrix updates.
+
+    bf16 halves the matrix-update stage's dominant HBM traffic (R0 is read
+    once and R1 effectively twice per update — the Mosaic kernel fetches two
+    overlapping row-block views); all compute stays f32 (kernel converts its
+    loads in VMEM, _combine_matrices_cf casts at entry).  The rounding
+    argument matches M storage: the update's products already round through
+    bf16 on DEFAULT-precision MXU stages downstream.
+
+    OPT-IN (``MICROALIGNER_TPU_R_BF16=1``, read at trace time) until the
+    on-hardware parity sweep (scripts/tpu_parity_check.py --sweep) validates
+    it across winsizes — then gate like _m_storage_dtype.  Follows the same
+    consistency rules: f32 off-TPU and whenever the aggregation precision is
+    raised.
+    """
+    import os
+
+    if os.environ.get("MICROALIGNER_TPU_R_BF16", "0") != "1":
+        return jnp.float32
+    if _agg_precision(winsize) != jax.lax.Precision.DEFAULT:
+        return jnp.float32
+    if jax.default_backend() not in ("tpu", "axon"):
+        return jnp.float32
+    return jnp.bfloat16
+
+
 _PALLAS_AGG_OK: bool | None = None
 
 
@@ -787,8 +847,9 @@ def _farneback_core_parts(
         # in one HBM pass (the separate combine re-read both 5-plane stacks)
         r0, r1, m = _poly_pair_m_pallas(movs, refs, poly_n, poly_sigma, win_size)
     else:
-        r0 = _poly_exp_batched(movs, poly_n, poly_sigma)
-        r1 = _poly_exp_batched(refs, poly_n, poly_sigma)
+        rdt = _r_storage_dtype(win_size)
+        r0 = _poly_exp_batched(movs, poly_n, poly_sigma).astype(rdt)
+        r1 = _poly_exp_batched(refs, poly_n, poly_sigma).astype(rdt)
         m = jax.vmap(
             lambda a, b: _update_matrices_zero_flow_cf(a, b, win_size)
         )(r0, r1)

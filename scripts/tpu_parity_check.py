@@ -16,6 +16,10 @@ The sweep mode exists because the DEFAULT (single-pass bf16) aggregation
 precision was originally validated at one point (2048² win99): the
 same-sign-cancellation argument weakens for small winsize, so the sweep
 re-checks the parity bars across winsize x size x iters (ADVICE round 2).
+
+bf16 R0/R1 storage (farneback._r_storage_dtype) is validated the same way:
+``MICROALIGNER_TPU_R_BF16=1 python scripts/tpu_parity_check.py --sweep``
+must be all-PASS on hardware before flipping that knob's default on.
 """
 
 from __future__ import annotations

@@ -53,3 +53,15 @@ def test_small_height_rejected():
     zf = jnp.zeros((1, 8, 32), jnp.float32)
     with pytest.raises(ValueError):
         pallas_update_matrices(R0, R0, zf, zf, band=4, interpret=True)
+
+
+def test_bf16_storage_inputs(rng):
+    """bf16 R0/R1 storage (_r_storage_dtype): the kernel converts its loads
+    to f32, so kernel-vs-XLA stays tight on identical bf16-rounded inputs."""
+    R0, R1, fx, fy = _mk(rng, 1, 64, 96, 4.0)
+    R0 = R0.astype(jnp.bfloat16)
+    R1 = R1.astype(jnp.bfloat16)
+    got = np.asarray(pallas_update_matrices(R0, R1, fx, fy, band=4, interpret=True))
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    assert got.dtype == np.float32  # out_dtype defaults to f32
+    np.testing.assert_allclose(got, want, atol=1e-4)
