@@ -672,6 +672,30 @@ def main():
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
 
+    # Bounded backend probe: device init over the tunneled backend can hang
+    # indefinitely when the tunnel is down, which would otherwise time the
+    # whole bench out with NO parseable output (the round-2 failure mode).
+    # A daemon-thread probe converts that hang into a documented skip.
+    import threading
+
+    probe_done = threading.Event()
+
+    def _probe():
+        try:
+            jax.devices()
+        finally:
+            probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    probe_s = float(os.environ.get("MICROALIGNER_BENCH_PROBE_TIMEOUT_S", "180"))
+    if not probe_done.wait(timeout=probe_s):
+        _STATE["detail"]["error"] = (
+            f"device backend unreachable (init probe exceeded {probe_s:.0f}s; "
+            "tunnel down?) — no TPU numbers this run"
+        )
+        _emit()
+        return 0
+
     def want(key):
         return only is None or key.split("_")[0] in only
 
