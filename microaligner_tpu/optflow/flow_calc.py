@@ -10,6 +10,7 @@ interiors are stitched.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +25,16 @@ from microaligner_tpu.tiles import (
     tile_origins,
 )
 
-__all__ = ["TileFlowCalc", "calc_flow_tiled"]
+__all__ = ["TileFlowCalc", "calc_flow_tiled", "calc_flow_and_warp_tiled"]
 
 
 _TILE_BATCH = 16  # bounds live tile working set (R0/R1 are 5-channel f32)
+
+
+def _tile_batch() -> int:
+    """Per-chunk tile count for the bounded Farneback map; env-tunable so the
+    profiler can sweep it (it is a static jit arg — changes re-trace)."""
+    return int(os.environ.get("MICROALIGNER_TPU_FLOW_TILE_BATCH", _TILE_BATCH))
 
 
 def calc_flow_tiled(
@@ -46,11 +53,15 @@ def calc_flow_tiled(
     otherwise need ~23 GB.  Tiles keep the input dtype (u8 for DoG images)
     until inside the kernel.
     """
-    return _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, current_tile_mesh())
+    return _calc_flow_tiled(
+        ref_img, mov_img, grid, win_size, num_iter, current_tile_mesh(), _tile_batch()
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "win_size", "num_iter", "mesh"))
-def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh):
+@functools.partial(
+    jax.jit, static_argnames=("grid", "win_size", "num_iter", "mesh", "batch")
+)
+def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh, batch=_TILE_BATCH):
     # halo windows are sliced per chunk from 1x canvases (block copies inside
     # the bounded map) instead of materializing the (N, win, win) stacks —
     # at 20k x 20k the duplicated halo stacks alone would be ~2x image memory
@@ -77,12 +88,100 @@ def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh):
         return fx[sl], fy[sl]
 
     fx, fy = tile_map(
-        flow_chunk, (origins,), batch=_TILE_BATCH, mesh=mesh,
+        flow_chunk, (origins,), batch=batch, mesh=mesh,
         broadcast=(canvas_r, canvas_m),
     )
     return jnp.stack(
         [stitch_interiors(fx, grid), stitch_interiors(fy, grid)], axis=-1
     )
+
+
+def calc_flow_and_warp_tiled(
+    ref_img: jax.Array,
+    mov_img: jax.Array,
+    warp_src: jax.Array,
+    grid: TileGrid,
+    win_size: int,
+    num_iter: int,
+    out_dtype_name: str,
+) -> tuple[jax.Array, jax.Array]:
+    """``calc_flow_tiled`` fused with the post-flow warp of ``warp_src``.
+
+    Returns ``(flow (H, W, 2) f32, warped (H, W) out_dtype)`` — exactly
+    ``calc_flow_tiled(ref, mov, ...)`` followed by
+    ``warp_tiled_dtype(warp_src, flow, ...)``, but the warp runs inside the
+    same bounded tile chunk while the tile's flow is still in HBM: the
+    separate warp pass re-read the stitched flow (3.3 GB at 20k x 20k), the
+    warp-source canvas, and paid its own window-extraction sweep.  Per-tile
+    semantics are identical to ``_warp_tiled_jit`` by construction: the same
+    canvas window, the same interior flow with a zero halo (only interior
+    outputs are kept), the same sampler and round/clip.
+
+    Registration levels warp the PRE-DoG moving image with the flow computed
+    on the DoG pair (optflow_registrator.py:128-133), hence the separate
+    ``warp_src``; pass ``mov_img`` for the plain register+warp step.
+    """
+    return _calc_flow_and_warp_tiled(
+        ref_img, mov_img, warp_src, grid, win_size, num_iter,
+        out_dtype_name, current_tile_mesh(), _tile_batch(),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "win_size", "num_iter", "out_dtype_name", "mesh", "batch"),
+)
+def _calc_flow_and_warp_tiled(
+    ref_img, mov_img, warp_src, grid, win_size, num_iter,
+    out_dtype_name, mesh, batch=_TILE_BATCH,
+):
+    from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
+
+    canvas_r = pad_canvas(ref_img, grid)
+    canvas_m = pad_canvas(mov_img, grid)
+    canvas_w = pad_canvas(warp_src, grid)
+    origins = jnp.asarray(tile_origins(grid))
+    win_h, win_w = grid.tile_shape
+    o = grid.overlap
+    out_dt = jnp.dtype(out_dtype_name)
+
+    def finish(w):
+        if jnp.issubdtype(out_dt, jnp.integer):
+            info = jnp.iinfo(out_dt)
+            w = jnp.clip(jnp.round(w), info.min, info.max)
+        return w.astype(out_dt)
+
+    # halo mask: the warp pass feeds the sampler interior flow with a zero
+    # halo (halo outputs are cropped; see _warp_tiled_jit), so zero it here
+    # too for bit-identical border blending
+    interior = jnp.zeros((win_h, win_w), jnp.float32)
+    interior = interior.at[o : o + grid.tile_h, o : o + grid.tile_w].set(1.0)
+
+    def flow_warp_chunk(orig, cr, cm, cw):
+        def get(c, p):
+            return jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w))
+
+        wr = jax.lax.map(lambda p: get(cr, p), orig)
+        wm = jax.lax.map(lambda p: get(cm, p), orig)
+        fx, fy = _farneback_core_parts(
+            wm.astype(jnp.float32), wr.astype(jnp.float32),
+            win_size, num_iter, 1, 1.7,
+        )
+        ws = jax.lax.map(lambda p: get(cw, p), orig)
+        warped = warp_with_flow_parts_batched(
+            ws.astype(jnp.float32), fx * interior, fy * interior
+        )
+        sl = (slice(None), slice(o, o + grid.tile_h), slice(o, o + grid.tile_w))
+        return fx[sl], fy[sl], finish(warped[sl])
+
+    fx, fy, warped = tile_map(
+        flow_warp_chunk, (origins,), batch=batch, mesh=mesh,
+        broadcast=(canvas_r, canvas_m, canvas_w),
+    )
+    flow = jnp.stack(
+        [stitch_interiors(fx, grid), stitch_interiors(fy, grid)], axis=-1
+    )
+    return flow, stitch_interiors(warped, grid)
 
 
 class TileFlowCalc:

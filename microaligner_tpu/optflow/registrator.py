@@ -88,7 +88,7 @@ def _fused_level(
     """
     from microaligner_tpu.ops.mutual_info import mi_tiled_traced
     from microaligner_tpu.optflow.farneback import _farneback_core_batched
-    from microaligner_tpu.optflow.flow_calc import calc_flow_tiled
+    from microaligner_tpu.optflow.flow_calc import calc_flow_and_warp_tiled
 
     mov_this = mov_lvl
     if pre_warp:
@@ -102,10 +102,14 @@ def _fused_level(
             jnp.asarray(ref_dog, jnp.float32)[None],
             win_size, num_iter, 1, 1.7,
         )[0]
+        mov_warped = warp_tiled_dtype(mov_this, this_flow, grid, dtype_name)
     else:
-        this_flow = calc_flow_tiled(ref_dog, mov_dog, grid, win_size, num_iter)
-
-    mov_warped = warp_tiled_dtype(mov_this, this_flow, grid, dtype_name)
+        # flow + post-warp fused per tile chunk: the separate warp pass
+        # re-read the stitched flow and the mov canvas (3.3 GB + 0.4 GB of
+        # HBM round trips at 20k x 20k)
+        this_flow, mov_warped = calc_flow_and_warp_tiled(
+            ref_dog, mov_dog, mov_this, grid, win_size, num_iter, dtype_name
+        )
 
     gate_ref = _dog_traced(ref_lvl, True)
     mi_after = mi_tiled_traced(gate_ref, _dog_traced(mov_warped, True), tile_size)

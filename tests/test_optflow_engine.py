@@ -203,3 +203,66 @@ class TestOptFlowRegistrator:
         reg = OptFlowRegistrator()
         with pytest.raises(ValueError):
             reg.ref_img = np.zeros((4, 5, 3), np.uint8)
+
+
+class TestFusedFlowWarp:
+    """calc_flow_and_warp_tiled == calc_flow_tiled + warp_tiled_dtype."""
+
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32"])
+    def test_matches_two_pass(self, rng, dtype):
+        import jax.numpy as jnp
+
+        from microaligner_tpu.optflow.flow_calc import (
+            calc_flow_and_warp_tiled,
+            calc_flow_tiled,
+        )
+        from microaligner_tpu.optflow.warper import warp_tiled_dtype
+        from microaligner_tpu.tiles import TileGrid
+
+        h, w = 260, 300
+        ref = _textured(rng, h, w)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        mov = cv.remap(ref, xs + 1.2, ys + 0.8, cv.INTER_LINEAR)
+        # warp source differs from the flow pair (the registration case:
+        # flow from the DoG pair, warp of the pre-DoG image)
+        src = (mov.astype(np.float32) * 0.7 + 10.0).astype(dtype)
+        grid = TileGrid.for_image((h, w), 120, 40)
+        refj, movj, srcj = jnp.asarray(ref), jnp.asarray(mov), jnp.asarray(src)
+
+        flow2, warped2 = calc_flow_and_warp_tiled(
+            refj, movj, srcj, grid, 39, 2, dtype
+        )
+        flow1 = calc_flow_tiled(refj, movj, grid, 39, 2)
+        warped1 = warp_tiled_dtype(srcj, flow1, grid, dtype)
+
+        np.testing.assert_allclose(np.asarray(flow2), np.asarray(flow1), atol=1e-5)
+        if dtype == "float32":
+            np.testing.assert_allclose(
+                np.asarray(warped2), np.asarray(warped1), atol=1e-4
+            )
+        else:
+            # integer outputs: identical round/clip, allow 1 lsb on ties
+            diff = np.abs(
+                np.asarray(warped2).astype(np.int32)
+                - np.asarray(warped1).astype(np.int32)
+            )
+            assert diff.max() <= 1
+            assert (diff > 0).mean() < 1e-3
+
+    def test_batch_knob_equality(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from microaligner_tpu.optflow.flow_calc import calc_flow_tiled
+        from microaligner_tpu.tiles import TileGrid
+
+        h, w = 260, 300
+        ref = _textured(rng, h, w)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        mov = cv.remap(ref, xs + 1.2, ys + 0.8, cv.INTER_LINEAR)
+        grid = TileGrid.for_image((h, w), 120, 40)
+        refj, movj = jnp.asarray(ref), jnp.asarray(mov)
+
+        f_def = np.asarray(calc_flow_tiled(refj, movj, grid, 39, 2))
+        monkeypatch.setenv("MICROALIGNER_TPU_FLOW_TILE_BATCH", "3")
+        f_b3 = np.asarray(calc_flow_tiled(refj, movj, grid, 39, 2))
+        np.testing.assert_allclose(f_b3, f_def, atol=1e-5)
