@@ -443,8 +443,7 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
     import jax.numpy as jnp
 
     from microaligner_tpu.io.tiff import MemmapWriter
-    from microaligner_tpu.optflow.flow_calc import calc_flow_tiled
-    from microaligner_tpu.optflow.warper import warp_tiled_dtype
+    from microaligner_tpu.optflow.flow_calc import calc_flow_and_warp_tiled
     from microaligner_tpu.pipeline.apply import stream_apply
     from microaligner_tpu.tiles import TileGrid
 
@@ -456,11 +455,16 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
     refj = jnp.asarray(ref)
     movj = jnp.asarray(mov)
 
-    flow = calc_flow_tiled(refj, movj, grid, win_size, num_iter)
-    jax.block_until_ready(flow)  # compile
+    # flow + post-warp fused per tile chunk (the separate warp pass re-read
+    # the 3.3 GB stitched flow and the mov canvas)
+    flow, warped = calc_flow_and_warp_tiled(
+        refj, movj, movj, grid, win_size, num_iter, "uint8"
+    )
+    jax.block_until_ready((flow, warped))  # compile
     t0 = time.perf_counter()
-    flow = calc_flow_tiled(refj, movj, grid, win_size, num_iter)
-    warped = warp_tiled_dtype(movj, flow, grid, "uint8")
+    flow, warped = calc_flow_and_warp_tiled(
+        refj, movj, movj, grid, win_size, num_iter, "uint8"
+    )
     float(jnp.sum(warped.astype(jnp.float32)[0, :8]))
     register_s = time.perf_counter() - t0
 
