@@ -21,6 +21,7 @@ from microaligner_tpu.parallel.tile_runner import current_tile_mesh, tile_map
 from microaligner_tpu.tiles import (
     TileGrid,
     pad_canvas,
+    split_into_tiles,
     stitch_interiors,
     tile_origins,
 )
@@ -35,6 +36,16 @@ def _tile_batch() -> int:
     """Per-chunk tile count for the bounded Farneback map; env-tunable so the
     profiler can sweep it (it is a static jit arg — changes re-trace)."""
     return int(os.environ.get("MICROALIGNER_TPU_FLOW_TILE_BATCH", _TILE_BATCH))
+
+
+def _static_split() -> bool:
+    """Extract halo windows with static slices into a materialized (N, win,
+    win) stack instead of per-chunk dynamic_slice from the canvas.  Costs
+    ~1.5x image memory in the INPUT dtype (0.64 GB per u8 canvas at 20k —
+    affordable; the ~23 GB concern is the f32 polynomial expansions, which
+    stay chunk-bounded either way); candidate fix if on-hardware profiling
+    attributes the 20k throughput drop to dynamic window extraction."""
+    return os.environ.get("MICROALIGNER_TPU_FLOW_STATIC_SPLIT", "0") == "1"
 
 
 def calc_flow_tiled(
@@ -54,29 +65,27 @@ def calc_flow_tiled(
     until inside the kernel.
     """
     return _calc_flow_tiled(
-        ref_img, mov_img, grid, win_size, num_iter, current_tile_mesh(), _tile_batch()
+        ref_img, mov_img, grid, win_size, num_iter, current_tile_mesh(),
+        _tile_batch(), _static_split(),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "win_size", "num_iter", "mesh", "batch")
+    jax.jit,
+    static_argnames=("grid", "win_size", "num_iter", "mesh", "batch", "static_split"),
 )
-def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh, batch=_TILE_BATCH):
+def _calc_flow_tiled(
+    ref_img, mov_img, grid, win_size, num_iter, mesh,
+    batch=_TILE_BATCH, static_split=False,
+):
     # halo windows are sliced per chunk from 1x canvases (block copies inside
     # the bounded map) instead of materializing the (N, win, win) stacks —
     # at 20k x 20k the duplicated halo stacks alone would be ~2x image memory
-    canvas_r = pad_canvas(ref_img, grid)
-    canvas_m = pad_canvas(mov_img, grid)
-    origins = jnp.asarray(tile_origins(grid))
     win_h, win_w = grid.tile_shape
     o = grid.overlap
+    sl = (slice(None), slice(o, o + grid.tile_h), slice(o, o + grid.tile_w))
 
-    def flow_chunk(orig, cr, cm):
-        def get(c, p):
-            return jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w))
-
-        wr = jax.lax.map(lambda p: get(cr, p), orig)
-        wm = jax.lax.map(lambda p: get(cm, p), orig)
+    def run_core(wr, wm):
         # x/y channels travel separately end-to-end: a trailing stacked dim
         # of 2 can get a padded T(8,128) layout (64x padding at 20k scale)
         # and costs a relayout copy per stack/unstack round trip
@@ -84,13 +93,29 @@ def _calc_flow_tiled(ref_img, mov_img, grid, win_size, num_iter, mesh, batch=_TI
             wm.astype(jnp.float32), wr.astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
         )
-        sl = (slice(None), slice(o, o + grid.tile_h), slice(o, o + grid.tile_w))
         return fx[sl], fy[sl]
 
-    fx, fy = tile_map(
-        flow_chunk, (origins,), batch=batch, mesh=mesh,
-        broadcast=(canvas_r, canvas_m),
-    )
+    if static_split:
+        tiles_r = split_into_tiles(ref_img, grid)
+        tiles_m = split_into_tiles(mov_img, grid)
+        fx, fy = tile_map(run_core, (tiles_r, tiles_m), batch=batch, mesh=mesh)
+    else:
+        canvas_r = pad_canvas(ref_img, grid)
+        canvas_m = pad_canvas(mov_img, grid)
+        origins = jnp.asarray(tile_origins(grid))
+
+        def flow_chunk(orig, cr, cm):
+            def get(c, p):
+                return jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w))
+
+            wr = jax.lax.map(lambda p: get(cr, p), orig)
+            wm = jax.lax.map(lambda p: get(cm, p), orig)
+            return run_core(wr, wm)
+
+        fx, fy = tile_map(
+            flow_chunk, (origins,), batch=batch, mesh=mesh,
+            broadcast=(canvas_r, canvas_m),
+        )
     return jnp.stack(
         [stitch_interiors(fx, grid), stitch_interiors(fy, grid)], axis=-1
     )
@@ -123,24 +148,23 @@ def calc_flow_and_warp_tiled(
     """
     return _calc_flow_and_warp_tiled(
         ref_img, mov_img, warp_src, grid, win_size, num_iter,
-        out_dtype_name, current_tile_mesh(), _tile_batch(),
+        out_dtype_name, current_tile_mesh(), _tile_batch(), _static_split(),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "win_size", "num_iter", "out_dtype_name", "mesh", "batch"),
+    static_argnames=(
+        "grid", "win_size", "num_iter", "out_dtype_name", "mesh", "batch",
+        "static_split",
+    ),
 )
 def _calc_flow_and_warp_tiled(
     ref_img, mov_img, warp_src, grid, win_size, num_iter,
-    out_dtype_name, mesh, batch=_TILE_BATCH,
+    out_dtype_name, mesh, batch=_TILE_BATCH, static_split=False,
 ):
     from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
 
-    canvas_r = pad_canvas(ref_img, grid)
-    canvas_m = pad_canvas(mov_img, grid)
-    canvas_w = pad_canvas(warp_src, grid)
-    origins = jnp.asarray(tile_origins(grid))
     win_h, win_w = grid.tile_shape
     o = grid.overlap
     out_dt = jnp.dtype(out_dtype_name)
@@ -156,28 +180,44 @@ def _calc_flow_and_warp_tiled(
     # too for bit-identical border blending
     interior = jnp.zeros((win_h, win_w), jnp.float32)
     interior = interior.at[o : o + grid.tile_h, o : o + grid.tile_w].set(1.0)
+    sl = (slice(None), slice(o, o + grid.tile_h), slice(o, o + grid.tile_w))
 
-    def flow_warp_chunk(orig, cr, cm, cw):
-        def get(c, p):
-            return jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w))
-
-        wr = jax.lax.map(lambda p: get(cr, p), orig)
-        wm = jax.lax.map(lambda p: get(cm, p), orig)
+    def run_core(wr, wm, ws):
         fx, fy = _farneback_core_parts(
             wm.astype(jnp.float32), wr.astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
         )
-        ws = jax.lax.map(lambda p: get(cw, p), orig)
         warped = warp_with_flow_parts_batched(
             ws.astype(jnp.float32), fx * interior, fy * interior
         )
-        sl = (slice(None), slice(o, o + grid.tile_h), slice(o, o + grid.tile_w))
         return fx[sl], fy[sl], finish(warped[sl])
 
-    fx, fy, warped = tile_map(
-        flow_warp_chunk, (origins,), batch=batch, mesh=mesh,
-        broadcast=(canvas_r, canvas_m, canvas_w),
-    )
+    if static_split:
+        tiles_r = split_into_tiles(ref_img, grid)
+        tiles_m = split_into_tiles(mov_img, grid)
+        tiles_w = split_into_tiles(warp_src, grid)
+        fx, fy, warped = tile_map(
+            run_core, (tiles_r, tiles_m, tiles_w), batch=batch, mesh=mesh
+        )
+    else:
+        canvas_r = pad_canvas(ref_img, grid)
+        canvas_m = pad_canvas(mov_img, grid)
+        canvas_w = pad_canvas(warp_src, grid)
+        origins = jnp.asarray(tile_origins(grid))
+
+        def flow_warp_chunk(orig, cr, cm, cw):
+            def get(c, p):
+                return jax.lax.dynamic_slice(c, (p[0], p[1]), (win_h, win_w))
+
+            wr = jax.lax.map(lambda p: get(cr, p), orig)
+            wm = jax.lax.map(lambda p: get(cm, p), orig)
+            ws = jax.lax.map(lambda p: get(cw, p), orig)
+            return run_core(wr, wm, ws)
+
+        fx, fy, warped = tile_map(
+            flow_warp_chunk, (origins,), batch=batch, mesh=mesh,
+            broadcast=(canvas_r, canvas_m, canvas_w),
+        )
     flow = jnp.stack(
         [stitch_interiors(fx, grid), stitch_interiors(fy, grid)], axis=-1
     )

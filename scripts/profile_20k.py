@@ -122,6 +122,15 @@ def main():
         results[f"flow_b{b}"] = t
     os.environ.pop("MICROALIGNER_TPU_FLOW_TILE_BATCH", None)
 
+    # -- static window extraction (materialized halo stacks) -----------------
+    os.environ["MICROALIGNER_TPU_FLOW_STATIC_SPLIT"] = "1"
+    results["flow_static"] = timed(
+        "calc_flow_tiled (static split, default batch)",
+        lambda: sync(calc_flow_tiled(refj, movj, grid, win_size, args.iters)),
+        args.reps,
+    )
+    os.environ.pop("MICROALIGNER_TPU_FLOW_STATIC_SPLIT", None)
+
     # -- fused flow+warp vs flow-then-warp ----------------------------------
     results["fused_flow_warp"] = timed(
         "calc_flow_and_warp_tiled (default batch)",

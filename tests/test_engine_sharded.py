@@ -145,3 +145,21 @@ class TestEnginesShardedEquality:
         # and the recovered translation is the ground truth (mov -> ref: -t)
         assert abs(m8[0, 2] - (-4.0)) < 0.5
         assert abs(m8[1, 2] - 3.0) < 0.5
+
+
+class TestFusedFlowWarpSharded:
+    def test_calc_flow_and_warp_tiled(self, workers, rng):
+        from microaligner_tpu.optflow.flow_calc import calc_flow_and_warp_tiled
+        from microaligner_tpu.tiles import TileGrid
+
+        ref, mov = _flow_pair(rng)
+        grid = TileGrid.for_image(ref.shape, 120, 40)
+        refj, movj = jnp.asarray(ref), jnp.asarray(mov)
+
+        workers(1)
+        f1, w1 = calc_flow_and_warp_tiled(refj, movj, movj, grid, 39, 2, "uint8")
+        f1, w1 = np.asarray(f1), np.asarray(w1)
+        workers(8)
+        f8, w8 = calc_flow_and_warp_tiled(refj, movj, movj, grid, 39, 2, "uint8")
+        np.testing.assert_allclose(np.asarray(f8), f1, atol=1e-5)
+        assert np.abs(np.asarray(w8).astype(np.int32) - w1.astype(np.int32)).max() <= 1

@@ -266,3 +266,30 @@ class TestFusedFlowWarp:
         monkeypatch.setenv("MICROALIGNER_TPU_FLOW_TILE_BATCH", "3")
         f_b3 = np.asarray(calc_flow_tiled(refj, movj, grid, 39, 2))
         np.testing.assert_allclose(f_b3, f_def, atol=1e-5)
+
+    def test_static_split_equality(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from microaligner_tpu.optflow.flow_calc import (
+            calc_flow_and_warp_tiled,
+            calc_flow_tiled,
+        )
+        from microaligner_tpu.tiles import TileGrid
+
+        h, w = 260, 300
+        ref = _textured(rng, h, w)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        mov = cv.remap(ref, xs + 1.2, ys + 0.8, cv.INTER_LINEAR)
+        grid = TileGrid.for_image((h, w), 120, 40)
+        refj, movj = jnp.asarray(ref), jnp.asarray(mov)
+
+        f_dyn = np.asarray(calc_flow_tiled(refj, movj, grid, 39, 2))
+        fw_dyn = calc_flow_and_warp_tiled(refj, movj, movj, grid, 39, 2, "uint8")
+        monkeypatch.setenv("MICROALIGNER_TPU_FLOW_STATIC_SPLIT", "1")
+        f_st = np.asarray(calc_flow_tiled(refj, movj, grid, 39, 2))
+        fw_st = calc_flow_and_warp_tiled(refj, movj, movj, grid, 39, 2, "uint8")
+        np.testing.assert_allclose(f_st, f_dyn, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fw_st[0]), np.asarray(fw_dyn[0]), atol=1e-5)
+        assert np.abs(
+            np.asarray(fw_st[1]).astype(np.int32) - np.asarray(fw_dyn[1]).astype(np.int32)
+        ).max() <= 1
