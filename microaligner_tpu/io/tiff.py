@@ -297,6 +297,10 @@ class TiffFile:
             raw = _codec.packbits_decode(data, expected)
         elif page.compression in (50000, 34926):  # zstd (official + legacy tag)
             raw = _codec.zstd_decode(data, expected)
+        elif page.compression == 34925:  # LZMA (tifffile writes .xz containers)
+            import lzma
+
+            raw = lzma.decompress(data)
         else:
             # JPEG-family and exotic codecs are documented out of scope
             # (PARITY.md); the reference reads them via tifffile's imagecodecs

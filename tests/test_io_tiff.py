@@ -119,6 +119,40 @@ class TestReadForeignTiffs:
             assert tf.pages[0].compression == 50000
             np.testing.assert_array_equal(tf.read_page(0), img)
 
+    def test_lzma_strip_roundtrip(self, tmp_path, rng):
+        """LZMA-compressed classic TIFF (COMPRESSION 34925, as written by
+        tifffile via lzma.compress) decodes exactly; stdlib lzma handles the
+        xz container."""
+        import lzma
+        import struct
+
+        img = rng.integers(0, 65535, size=(29, 41)).astype(np.uint16)
+        comp = lzma.compress(img.tobytes())
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        data_off = 8
+        ifd_off = data_off + len(comp)
+        entries = [
+            entry(256, 3, 1, struct.pack("<I", img.shape[1])),
+            entry(257, 3, 1, struct.pack("<I", img.shape[0])),
+            entry(258, 3, 1, struct.pack("<I", 16)),
+            entry(259, 3, 1, struct.pack("<I", 34925)),
+            entry(262, 3, 1, struct.pack("<I", 1)),
+            entry(273, 4, 1, struct.pack("<I", data_off)),
+            entry(277, 3, 1, struct.pack("<I", 1)),
+            entry(278, 3, 1, struct.pack("<I", img.shape[0])),
+            entry(279, 4, 1, struct.pack("<I", len(comp))),
+        ]
+        buf = struct.pack("<2sHI", b"II", 42, ifd_off) + comp
+        buf += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+        p = tmp_path / "x.tif"
+        p.write_bytes(buf)
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].compression == 34925
+            np.testing.assert_array_equal(tf.read_page(0), img)
+
 
 class TestOmeParsing:
     def test_pixels_info(self):
