@@ -50,6 +50,7 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
@@ -72,6 +73,7 @@ class TiffPage:
     tile_offsets: List[int] = field(default_factory=list)
     tile_counts: List[int] = field(default_factory=list)
     description: Optional[str] = None
+    jpeg_tables: Optional[bytes] = None
 
     @property
     def dtype(self) -> np.dtype:
@@ -115,6 +117,42 @@ class _PageProxy:
 
     def asarray(self) -> np.ndarray:
         return self._tif.read_page(self._index)
+
+
+def _decode_jpeg_block(data: bytes, page: TiffPage) -> np.ndarray:
+    """Decode one new-style JPEG (compression 7) strip/tile to pixels.
+
+    TIFF stores either a complete JPEG stream per block or an abbreviated
+    stream whose quantization/Huffman tables live in the JPEGTables tag
+    (an SOI..tables..EOI stream); the abbreviated case is reassembled by
+    splicing the tables between the block's SOI and its first segment.
+    Decoding itself is delegated to OpenCV (lazy import — the only place
+    the package uses it at runtime): JPEG is a lossy consumer codec with no
+    place on the TPU compute path, and the reference reads it through
+    tifffile's optional imagecodecs dependency in exactly the same spirit.
+    8-bit baseline/progressive only (cv2's JPEG support); 12-bit JPEG and
+    old-style (compression 6) raise as unsupported.
+    """
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - cv2 is present in CI
+        raise ValueError(
+            "JPEG-compressed TIFF requires OpenCV (cv2) for decoding"
+        ) from e
+
+    stream = data
+    tables = page.jpeg_tables
+    if tables and len(tables) > 4 and stream[:2] == b"\xff\xd8":
+        # strip tables' SOI/EOI, splice after the block's SOI
+        stream = stream[:2] + tables[2:-2] + stream[2:]
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    flag = cv2.IMREAD_GRAYSCALE if page.samples_per_pixel == 1 else cv2.IMREAD_COLOR
+    arr = cv2.imdecode(buf, flag)
+    if arr is None:
+        raise ValueError("JPEG block failed to decode")
+    if page.samples_per_pixel > 1:
+        arr = arr[..., ::-1]  # cv2 returns BGR; TIFF wants RGB order
+    return arr
 
 
 class TiffFile:
@@ -220,6 +258,10 @@ class TiffFile:
                 ptr = struct.unpack(self._bo + ("Q" if self._big else "I"), val)[0]
                 fh.seek(ptr)
                 payload = fh.read(size)
+            if tag == _T_JPEG_TABLES:
+                # abbreviated tables stream (SOI..tables..EOI), raw bytes
+                page.jpeg_tables = bytes(payload[:cnt])
+                continue
             v = self._tag_values(typ, cnt, payload)
             if v is None:
                 continue
@@ -301,6 +343,11 @@ class TiffFile:
             import lzma
 
             raw = lzma.decompress(data)
+        elif page.compression == 7:  # new-style JPEG (lossy, 8-bit)
+            # decoded to pixels directly (no predictor applies to JPEG);
+            # crop the codec's MCU-padded output to the block extent
+            arr = _decode_jpeg_block(data, page)
+            return arr[:rows, :cols]
         else:
             # JPEG-family and exotic codecs are documented out of scope
             # (PARITY.md); the reference reads them via tifffile's imagecodecs

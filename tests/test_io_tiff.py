@@ -153,6 +153,99 @@ class TestReadForeignTiffs:
             assert tf.pages[0].compression == 34925
             np.testing.assert_array_equal(tf.read_page(0), img)
 
+    @staticmethod
+    def _tiff_single_strip(comp_bytes, shape, compression, bits=8, extra_entries=()):
+        import struct
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        data_off = 8
+        ifd_off = data_off + len(comp_bytes)
+        entries = [
+            entry(256, 3, 1, struct.pack("<I", shape[1])),
+            entry(257, 3, 1, struct.pack("<I", shape[0])),
+            entry(258, 3, 1, struct.pack("<I", bits)),
+            entry(259, 3, 1, struct.pack("<I", compression)),
+            entry(262, 3, 1, struct.pack("<I", 1)),
+            entry(273, 4, 1, struct.pack("<I", data_off)),
+            entry(277, 3, 1, struct.pack("<I", 1)),
+            entry(278, 3, 1, struct.pack("<I", shape[0])),
+            entry(279, 4, 1, struct.pack("<I", len(comp_bytes))),
+        ] + list(extra_entries)
+        entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+        buf = struct.pack("<2sHI", b"II", 42, ifd_off) + comp_bytes
+        buf += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+        return buf
+
+    def test_jpeg_strip_full_stream(self, tmp_path, rng):
+        """Compression-7 strip holding a complete JPEG stream decodes to the
+        same pixels cv2 decodes from those bytes."""
+        import cv2 as cv
+
+        img = cv.GaussianBlur(
+            rng.integers(0, 255, size=(48, 64)).astype(np.uint8), (0, 0), 2.0
+        )
+        ok, enc = cv.imencode(".jpg", img, [cv.IMWRITE_JPEG_QUALITY, 95])
+        assert ok
+        stream = enc.tobytes()
+        golden = cv.imdecode(np.frombuffer(stream, np.uint8), cv.IMREAD_GRAYSCALE)
+
+        p = tmp_path / "j.tif"
+        p.write_bytes(self._tiff_single_strip(stream, img.shape, 7))
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].compression == 7
+            np.testing.assert_array_equal(tf.read_page(0), golden)
+
+    def test_jpeg_strip_with_jpegtables(self, tmp_path, rng):
+        """Abbreviated JPEG stream + JPEGTables tag (tag 347): the reader
+        splices the tables back in (how tifffile/libtiff write multi-strip
+        JPEG TIFFs)."""
+        import struct
+
+        import cv2 as cv
+
+        img = cv.GaussianBlur(
+            rng.integers(0, 255, size=(40, 56)).astype(np.uint8), (0, 0), 2.0
+        )
+        ok, enc = cv.imencode(".jpg", img, [cv.IMWRITE_JPEG_QUALITY, 95])
+        assert ok
+        stream = enc.tobytes()
+        golden = cv.imdecode(np.frombuffer(stream, np.uint8), cv.IMREAD_GRAYSCALE)
+
+        # split DQT/DHT segments out of the full stream into a tables stream
+        tables_segs, rest = [], []
+        i = 2
+        while i < len(stream):
+            assert stream[i] == 0xFF
+            marker = stream[i + 1]
+            if marker == 0xDA:  # SOS: entropy data to EOI stays in the block
+                rest.append(stream[i:])
+                break
+            seg_len = struct.unpack(">H", stream[i + 2 : i + 4])[0]
+            seg = stream[i : i + 2 + seg_len]
+            (tables_segs if marker in (0xDB, 0xC4) else rest).append(seg)
+            i += 2 + seg_len
+        tables = b"\xff\xd8" + b"".join(tables_segs) + b"\xff\xd9"
+        block = b"\xff\xd8" + b"".join(rest)
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        # tables go out-of-line after the IFD
+        data_off = 8
+        ifd_off = data_off + len(block)
+        n_entries = 10
+        tables_off = ifd_off + 2 + n_entries * 12 + 4
+        extra = [entry(347, 7, len(tables), struct.pack("<I", tables_off))]
+        buf = self._tiff_single_strip(block, img.shape, 7, extra_entries=extra)
+        buf += tables
+        p = tmp_path / "jt.tif"
+        p.write_bytes(buf)
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].jpeg_tables == tables
+            np.testing.assert_array_equal(tf.read_page(0), golden)
+
 
 class TestOmeParsing:
     def test_pixels_info(self):
