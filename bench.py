@@ -94,9 +94,26 @@ def _elapsed():
     return time.perf_counter() - _T0
 
 
+_LAST_GOOD = os.path.join(_REPO, "BENCH_LAST_GOOD.json")
+
+
 def _emit():
     _STATE["detail"]["elapsed_s"] = round(_elapsed(), 1)
     print(json.dumps(_STATE), flush=True)
+
+
+def _save_last_good():
+    """Persist the current snapshot as the last successful on-hardware run,
+    so a later tunnel-down skip can still point at real measured numbers
+    (clearly labeled as a prior run, never as this run's result)."""
+    try:
+        snap = {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        snap.update({k: _STATE[k] for k in ("metric", "value", "unit", "vs_baseline")})
+        snap["configs"] = _STATE["detail"]["configs"]
+        with open(_LAST_GOOD, "w") as fh:
+            json.dump(snap, fh, indent=1)
+    except OSError:
+        pass
 
 
 def _sig_handler(signum, frame):  # emit best snapshot before dying
@@ -650,6 +667,8 @@ def _run_config(key, fn, headline=False, **kw):
         if headline and "value" in cfgs[key]:
             _STATE["value"] = cfgs[key]["value"]
             _STATE["vs_baseline"] = cfgs[key]["vs_baseline"]
+        if _STATE["value"] is not None:
+            _save_last_good()
     except Exception as e:  # bench resilience — never lose earlier configs
         cfgs[key] = {"error": repr(e)[:300]}
     _emit()
@@ -697,6 +716,11 @@ def main():
             f"device backend unreachable (init probe exceeded {probe_s:.0f}s; "
             "tunnel down?) — no TPU numbers this run"
         )
+        try:
+            with open(_LAST_GOOD) as fh:
+                _STATE["detail"]["last_measured_run"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
         _emit()
         return 0
 
