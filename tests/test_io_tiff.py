@@ -246,6 +246,72 @@ class TestReadForeignTiffs:
             assert tf.pages[0].jpeg_tables == tables
             np.testing.assert_array_equal(tf.read_page(0), golden)
 
+    def test_jpeg_tiled_page(self, tmp_path, rng):
+        """Tiled layout + compression 7: each tile a complete JPEG stream,
+        edge tiles MCU-padded and cropped on paste."""
+        import struct
+
+        import cv2 as cv
+
+        h, w, tl, tw = 70, 90, 48, 64  # 2x2 tiles, ragged edges
+        img = cv.GaussianBlur(
+            rng.integers(0, 255, size=(h, w)).astype(np.uint8), (0, 0), 2.0
+        )
+        tiles, streams, goldens = [], [], {}
+        pad = np.zeros((2 * tl, 2 * tw), np.uint8)
+        pad[:h, :w] = img
+        for ty in range(2):
+            for tx in range(2):
+                t = pad[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                ok, enc = cv.imencode(".jpg", t, [cv.IMWRITE_JPEG_QUALITY, 95])
+                assert ok
+                streams.append(enc.tobytes())
+                goldens[(ty, tx)] = cv.imdecode(
+                    np.frombuffer(streams[-1], np.uint8), cv.IMREAD_GRAYSCALE
+                )
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        data_off = 8
+        offsets, off = [], data_off
+        for s in streams:
+            offsets.append(off)
+            off += len(s)
+        ifd_off = off
+        n_entries = 10
+        arrays_off = ifd_off + 2 + n_entries * 12 + 4
+        entries = [
+            entry(256, 3, 1, struct.pack("<I", w)),
+            entry(257, 3, 1, struct.pack("<I", h)),
+            entry(258, 3, 1, struct.pack("<I", 8)),
+            entry(259, 3, 1, struct.pack("<I", 7)),
+            entry(262, 3, 1, struct.pack("<I", 1)),
+            entry(277, 3, 1, struct.pack("<I", 1)),
+            entry(322, 3, 1, struct.pack("<I", tw)),   # TileWidth
+            entry(323, 3, 1, struct.pack("<I", tl)),   # TileLength
+            entry(324, 4, 4, struct.pack("<I", arrays_off)),       # TileOffsets
+            entry(325, 4, 4, struct.pack("<I", arrays_off + 16)),  # TileByteCounts
+        ]
+        buf = struct.pack("<2sHI", b"II", 42, ifd_off) + b"".join(streams)
+        buf += struct.pack("<H", n_entries) + b"".join(entries) + struct.pack("<I", 0)
+        buf += struct.pack("<4I", *offsets)
+        buf += struct.pack("<4I", *[len(s) for s in streams])
+        p = tmp_path / "jtile.tif"
+        p.write_bytes(buf)
+
+        expect = np.empty((h, w), np.uint8)
+        for ty in range(2):
+            for tx in range(2):
+                ys = min(tl, h - ty * tl)
+                xs = min(tw, w - tx * tw)
+                expect[ty * tl : ty * tl + ys, tx * tw : tx * tw + xs] = goldens[
+                    (ty, tx)
+                ][:ys, :xs]
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].is_tiled
+            np.testing.assert_array_equal(tf.read_page(0), expect)
+
 
 class TestOmeParsing:
     def test_pixels_info(self):
