@@ -141,14 +141,32 @@ def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
     M = _SHIFT_MARGIN
     c1x = pad_canvas(flow1[..., 0], grid)
     c1y = pad_canvas(flow1[..., 1], grid)
-    c2x = jnp.pad(pad_canvas(flow2[..., 0], grid), ((M, M), (M, M)))
-    c2y = jnp.pad(pad_canvas(flow2[..., 1], grid), ((M, M), (M, M)))
+    c2x_plain = pad_canvas(flow2[..., 0], grid)
+    c2y_plain = pad_canvas(flow2[..., 1], grid)
+    c2x = jnp.pad(c2x_plain, ((M, M), (M, M)))
+    c2y = jnp.pad(c2y_plain, ((M, M), (M, M)))
     origins = jnp.asarray(tile_origins(grid))
     win_h, win_w = grid.tile_shape
     o = grid.overlap
     ch, cw = c2x.shape  # shifted-window canvas dims (with margin)
 
-    def compose_chunk(orig, c1x_, c1y_, c2x_, c2y_):
+    # When the overlap divides the tile pitch, every unshifted window is an
+    # aligned run of o x o blocks, so the reference's f2 zero-shortcut test
+    # (max over the UNSHIFTED halo tile) can read a tiny slice of a coarse
+    # block-max canvas instead of re-fetching two full halo windows per tile.
+    use_coarse = o > 0 and grid.tile_h % o == 0 and grid.tile_w % o == 0
+    if use_coarse:
+        ph, pw = c2x_plain.shape  # = ny*tile_h + 2o, nx*tile_w + 2o (o-aligned)
+        cmax2 = (
+            jnp.maximum(c2x_plain, c2y_plain)
+            .reshape(ph // o, o, pw // o, o)
+            .max(axis=(1, 3))
+        )
+        cwh, cww = win_h // o, win_w // o
+    else:
+        cmax2 = jnp.zeros((1, 1), jnp.float32)  # unused
+
+    def compose_chunk(orig, c1x_, c1y_, c2x_, c2y_, cmax2_):
         def wins_at(c, starts):
             return jax.lax.map(
                 lambda s: jax.lax.dynamic_slice(c, (s[0], s[1]), (win_h, win_w)),
@@ -165,6 +183,17 @@ def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
         f1y_int = f1yw[:, o : o + grid.tile_h, o : o + grid.tile_w]
         dcx = jnp.round(jnp.mean(-f1x_int, axis=(1, 2))).astype(jnp.int32)
         dcy = jnp.round(jnp.mean(-f1y_int, axis=(1, 2))).astype(jnp.int32)
+        # reference merge_two_flows shortcut test on the full halo tile
+        f1_zero_flat = (
+            jnp.maximum(jnp.max(f1xw, axis=(1, 2)), jnp.max(f1yw, axis=(1, 2))) == 0
+        )
+        if use_coarse:
+            # force dc = 0 on f1-zero tiles so the SHIFTED f2 window equals
+            # the unshifted one there — it then doubles as the verbatim-f2
+            # output the reference returns for those tiles, and the two
+            # unshifted-window fetches below become unnecessary
+            dcx = jnp.where(f1_zero_flat, 0, dcx)
+            dcy = jnp.where(f1_zero_flat, 0, dcy)
         # Guard (ADVICE r2): a tile whose flow deviates from its mean by more
         # than the window margin could need taps inside its ORIGINAL halo
         # extent that the shifted window does not cover (the exact-fallback
@@ -217,14 +246,29 @@ def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
         my_ = f1yw + sy2
 
         # reference merge_two_flows short-circuits on all-non-positive tiles
-        f1_zero = (jnp.maximum(jnp.max(f1xw, axis=(1, 2)), jnp.max(f1yw, axis=(1, 2))) == 0)[:, None, None]
-        # f2 zero-shortcut uses the UNSHIFTED tile, matching the reference
-        orig_m = orig + M
-        f2xw0 = wins_at(c2x_, orig_m)
-        f2yw0 = wins_at(c2y_, orig_m)
-        f2_zero = (jnp.maximum(jnp.max(f2xw0, axis=(1, 2)), jnp.max(f2yw0, axis=(1, 2))) == 0)[:, None, None]
-        mx_ = jnp.where(f1_zero, f2xw0, jnp.where(f2_zero, f1xw, mx_))
-        my_ = jnp.where(f1_zero, f2yw0, jnp.where(f2_zero, f1yw, my_))
+        f1_zero = f1_zero_flat[:, None, None]
+        if use_coarse:
+            # f2 zero-shortcut (UNSHIFTED tile max) from the coarse block-max
+            # canvas: the window is an aligned (win/o, win/o) block slice
+            cm = jax.lax.map(
+                lambda p: jax.lax.dynamic_slice(
+                    cmax2_, (p[0] // o, p[1] // o), (cwh, cww)
+                ),
+                orig,
+            )
+            f2_zero = (jnp.max(cm, axis=(1, 2)) == 0)[:, None, None]
+            # f1-zero tiles had dc forced to 0, so their shifted windows ARE
+            # the unshifted f2 tiles the reference returns verbatim
+            mx_ = jnp.where(f1_zero, f2xw, jnp.where(f2_zero, f1xw, mx_))
+            my_ = jnp.where(f1_zero, f2yw, jnp.where(f2_zero, f1yw, my_))
+        else:
+            # f2 zero-shortcut uses the UNSHIFTED tile, matching the reference
+            orig_m = orig + M
+            f2xw0 = wins_at(c2x_, orig_m)
+            f2yw0 = wins_at(c2y_, orig_m)
+            f2_zero = (jnp.maximum(jnp.max(f2xw0, axis=(1, 2)), jnp.max(f2yw0, axis=(1, 2))) == 0)[:, None, None]
+            mx_ = jnp.where(f1_zero, f2xw0, jnp.where(f2_zero, f1xw, mx_))
+            my_ = jnp.where(f1_zero, f2yw0, jnp.where(f2_zero, f1yw, my_))
 
         return (
             mx_[:, o : o + grid.tile_h, o : o + grid.tile_w],
@@ -236,7 +280,7 @@ def _compose_flows_tiled_jit(flow1, flow2, grid, mesh):
         (origins,),
         batch=_TILE_BATCH,
         mesh=mesh,
-        broadcast=(c1x, c1y, c2x, c2y),
+        broadcast=(c1x, c1y, c2x, c2y, cmax2),
     )
     return jnp.stack(
         [stitch_interiors(mx, grid), stitch_interiors(my, grid)], axis=-1

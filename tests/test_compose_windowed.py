@@ -97,3 +97,40 @@ def test_extreme_spread_nonzero_mean(rng):
     got = np.asarray(compose_flows_tiled(f1, f2, grid))
     want = np.asarray(_direct(f1, f2, grid))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("overlap", [33, 40])
+def test_nondivisible_overlap_fallback(rng, overlap):
+    """overlap 33 does not divide tile 120 -> the coarse block-max shortcut is
+    disabled and the unshifted-window fallback must still match the direct
+    semantics (incl. zero shortcuts)."""
+    h, w = 260, 300
+    grid = TileGrid.for_image((h, w), 120, overlap)
+    f1 = jnp.asarray(_smooth_flow(rng, h, w, 8.0))
+    f2 = jnp.asarray(_smooth_flow(rng, h, w, 3.0))
+    got = np.asarray(compose_flows_tiled(f1, f2, grid))
+    want = np.asarray(_direct(f1, f2, grid))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    z = jnp.zeros((h, w, 2), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(compose_flows_tiled(z, f2, grid)), np.asarray(f2), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(compose_flows_tiled(f1, z, grid)), np.asarray(f1), atol=1e-5
+    )
+
+
+def test_zero_shortcut_negative_flow_tiles(rng):
+    """A tile whose f1 is all-negative has max == 0 ... is False (reference
+    quirk: the shortcut keys on signed max), while an all-zero f1 tile takes
+    the verbatim-f2 branch; mixed canvases must still match the direct
+    semantics under the coarse shortcut."""
+    h, w = 260, 300
+    grid = TileGrid.for_image((h, w), 120, 40)
+    f1 = np.zeros((h, w, 2), np.float32)
+    f1[:100, :, :] = -3.0  # negative block: NOT shortcut (signed max < 0... == 0 False)
+    f2 = _smooth_flow(rng, h, w, 5.0)
+    got = np.asarray(compose_flows_tiled(jnp.asarray(f1), jnp.asarray(f2), grid))
+    want = np.asarray(_direct(jnp.asarray(f1), jnp.asarray(f2), grid))
+    np.testing.assert_allclose(got, want, atol=1e-4)
