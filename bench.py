@@ -63,16 +63,28 @@ sys.path.insert(0, os.path.join(_REPO, "scripts"))
 CORES = 32.0  # BASELINE.md comparator: perfect 32-core scaling credited
 
 # Serial cv2/sklearn reference-kernel timings, measured in this workspace with
-# `python bench.py --measure-cpu` (cv2 4.12, 1 thread-pool default).  Each is
-# the reference's exact per-tile compute run serially; vs_baseline divides
-# these by 32 (perfect scaling credited) then by our TPU time.  Re-measure
-# with --measure-cpu after changing sizes/params.
+# `python bench.py --measure-cpu` on an otherwise idle host.  Each is the
+# reference's exact compute run serially; vs_baseline divides these by 32
+# (perfect scaling credited) then by our TPU time.  Re-measure with
+# --measure-cpu after changing sizes/params — CPU_BASELINE_PROVENANCE below is
+# emitted into every bench JSON so a stale recording is visible, not silent.
 RECORDED_CPU_SERIAL_S = {
-    "1_feature_pair": 0.96,   # FAST+RANSAC+warpAffine subset, 4096² (no DAISY/FLANN here)
+    "1_feature_pair": 0.96,   # FeatureRegistratorRecon full driver (FAST+DAISY+FLANN+RANSAC+MI), 4096²
     "2_optflow_pair": 26.6,   # 25 halo tiles Farneback win99 iter3 + remap, 4096²
     "3_chained_mse": 58.0,    # reference_recon 2-lvl pyramid register, 2048²
     "4_zstack_apply": 0.94,   # 8 × u16 4096² cv2.remap planes
     "5_20k_streamed": 399.0,  # 441-tile Farneback extrapolated from 4 tiles
+}
+
+# Provenance for the recorded constants: kept in sync with the --measure-cpu
+# run that produced RECORDED_CPU_SERIAL_S.  The params string covers the
+# workload-defining knobs of every config; --measure-cpu prints it so a
+# recording made under different sizes/params is visibly stale in the JSON.
+CPU_BASELINE_PROVENANCE = {
+    "measured_at": "2026-08-17",
+    "cv2": "5.0.0",
+    "params": "1:4096/pyr3/iter3/tile1000 2:4096/tile1000/ov100/iter3 "
+              "3:2048/pyr2/iter3 4:4096/u16x8 5:20480/tile1000/ov100/iter3",
 }
 
 _T0 = time.perf_counter()
@@ -84,6 +96,7 @@ _STATE = {
     "vs_baseline": None,
     "detail": {
         "baseline": "recorded reference-kernel (cv2/sklearn) serial timings / 32 (perfect scaling credited); refresh with --measure-cpu",
+        "baseline_provenance": CPU_BASELINE_PROVENANCE,
         "tpu_timing": "steady-state: K jit-chained steps, one sync",
         "configs": {},
     },
@@ -212,10 +225,12 @@ def measure_cpu_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3)
 def bench_feature(size=4096):
     """FeatureRegistrator affine registration of a 2-cycle pair.
 
-    CPU baseline (recorded): cv2 FAST per halo tile + RANSAC partial-affine
-    fit + full-frame warpAffine — the reference's cv2-available subset (DAISY
-    and FLANN excluded: no opencv-contrib here; the baseline is therefore
-    FASTER than the real reference, making vs_baseline conservative).
+    CPU baseline (recorded): the FULL reference driver reconstructed with its
+    exact kernel calls (scripts/reference_recon.FeatureRegistratorRecon —
+    cv2 FAST per halo tile + DAISY descriptors via cv2 separable blurs +
+    FLANN knn + RANSAC + warpAffine + sklearn NMI gates, the whole
+    pyramid x iteration loop), run serially and credited /32.  The round-3
+    baseline omitted DAISY+FLANN entirely; this one pays for them.
     """
     import cv2 as cv
 
@@ -253,33 +268,29 @@ def bench_feature(size=4096):
         "tpu_s": round(tpu_s, 2),
         "cpu_serial_s": serial,
         "tmat_translation_err_px": round(float(err), 3),
-        "note": "cpu baseline excludes DAISY+FLANN (no contrib): conservative",
+        "note": "cpu baseline = full reference driver incl. DAISY(cv2-blur impl)+FLANN",
     }
 
 
 def measure_cpu_feature(size=4096):
+    """Serial cost of the reference's FULL feature registration driver on the
+    config-1 pair: same pyramid/iteration control flow, same kernel calls
+    (FAST, DAISY, FLANN knn, RANSAC, warpAffine, sklearn NMI)."""
     import cv2 as cv
-
-    from microaligner_tpu.tiles import TileGrid
+    import reference_recon as recon
 
     ref, _ = _make_pair(size, size, seed=1)
     t_true = np.float32([[1.0004, 0.0003, 6.4], [-0.0003, 1.0004, -9.1]])
     mov = cv.warpAffine(ref, t_true, (size, size))
-    grid = TileGrid.for_image(ref.shape, 1000, 51)
-    fast = cv.FastFeatureDetector_create(1, True, cv.FastFeatureDetector_TYPE_9_16)
+    r = recon.FeatureRegistratorRecon()
+    r.num_pyr_lvl = 3
+    r.num_iterations = 3
+    r.tile_size = 1000
+    r.use_dog = True
+    r.ref_img = ref
+    r.mov_img = mov
     t0 = time.perf_counter()
-    pts = []
-    for img in (ref, mov):
-        for i in range(grid.ny):
-            for j in range(grid.nx):
-                tile = img[i * 1000 : (i + 1) * 1000, j * 1000 : (j + 1) * 1000]
-                kp = fast.detect(tile, None)
-                kp = sorted(kp, key=lambda k: k.response, reverse=True)[:5000]
-                pts.append(kp)
-    src = np.asarray([k.pt for k in pts[0]][:3000], np.float32)
-    if len(src) >= 3:
-        cv.estimateAffinePartial2D(src, src + 1.0, method=cv.RANSAC, confidence=0.99)
-    cv.warpAffine(mov, t_true, (size, size))
+    r.register()
     return time.perf_counter() - t0
 
 

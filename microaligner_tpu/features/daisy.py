@@ -106,7 +106,7 @@ def _blur_chw(x: jax.Array, sigma: float) -> jax.Array:
 
 
 def _orientation_cubes(img: jax.Array) -> jax.Array:
-    """(H, W) image -> (Q_RADIUS, 8, H, W) smoothed rectified gradient layers."""
+    """(H, W) image -> (8, Q_RADIUS, H, W) smoothed rectified gradient layers."""
     f = img.astype(jnp.float32)
     # slight pre-smoothing stabilizes the gradients (sigma=0.5, as in DAISY)
     f = _blur_chw(f[None], 0.5)[0]
@@ -127,36 +127,46 @@ def _orientation_cubes(img: jax.Array) -> jax.Array:
         cur = _blur_chw(cur, inc)
         cubes.append(cur)
         prev_sigma = float(s)
-    return jnp.stack(cubes)  # (Q, 8, H, W)
+    # orientation-major stack: (8, Q, H, W) reshapes to the (8, Q*H*W) gather
+    # operand with NO transpose copy (the fused path's hot layout)
+    return jnp.stack(cubes, axis=1)
 
 
-def _bilinear_gather(cube: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
-    """Sample (8, H, W) at float coords (clamped/replicate) -> (K, 8).
+def _gather_descriptors(cubes: jax.Array, coords: jax.Array) -> jax.Array:
+    """Fused multi-point sampling: all 25 grid points x K keypoints in FOUR
+    flat takes (one per bilinear tap) over the (8, Q*H*W) cube table.
 
-    One flat take per tap: the (8, H*W) layout makes each tap a contiguous
-    8-channel... row gather along the flattened spatial axis.
+    The per-grid-point loop this replaces issued 100 small gathers; folding
+    the ring index into the flattened spatial address makes the whole
+    descriptor table one gather per tap, which XLA lowers to a single big
+    dynamic-gather — the profitable shape on TPU.
     """
-    c, h, w = cube.shape
-    flat = cube.reshape(c, h * w)
-    xs = jnp.clip(xs, 0.0, w - 1.000001)
-    ys = jnp.clip(ys, 0.0, h - 1.000001)
+    _, q, h, w = cubes.shape
+    flat = cubes.reshape(_Q_HIST, q * h * w)
+    offs = jnp.asarray(_grid_offsets())  # (25, 2)
+    base = jnp.asarray(_ring_of_point() * (h * w))[None]  # (1, 25) cube offset
+    xs = jnp.clip(coords[:, 0:1] + offs[None, :, 0], 0.0, w - 1.000001)  # (K, 25)
+    ys = jnp.clip(coords[:, 1:2] + offs[None, :, 1], 0.0, h - 1.000001)
     x0 = jnp.floor(xs).astype(jnp.int32)
     y0 = jnp.floor(ys).astype(jnp.int32)
-    tx = (xs - x0)[None]
+    tx = (xs - x0)[None]  # (1, K, 25)
     ty = (ys - y0)[None]
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    v00 = jnp.take(flat, y0 * w + x0, axis=1)  # (8, K)
-    v01 = jnp.take(flat, y0 * w + x1, axis=1)
-    v10 = jnp.take(flat, y1 * w + x0, axis=1)
-    v11 = jnp.take(flat, y1 * w + x1, axis=1)
+    k, p = xs.shape
+
+    def take(yy, xx):
+        return jnp.take(flat, (base + yy * w + xx).reshape(-1), axis=1).reshape(
+            _Q_HIST, k, p
+        )
+
     out = (
-        v00 * (1 - tx) * (1 - ty)
-        + v01 * tx * (1 - ty)
-        + v10 * (1 - tx) * ty
-        + v11 * tx * ty
-    )
-    return out.T  # (K, 8)
+        take(y0, x0) * (1 - tx) * (1 - ty)
+        + take(y0, x1) * tx * (1 - ty)
+        + take(y1, x0) * (1 - tx) * ty
+        + take(y1, x1) * tx * ty
+    )  # (8, K, 25)
+    return out.transpose(1, 2, 0).reshape(k, p * _Q_HIST)  # (K, 200)
 
 
 def daisy_at_points(img: jax.Array, coords: jax.Array, normalize: bool = True) -> jax.Array:
@@ -174,17 +184,7 @@ def daisy_at_points(img: jax.Array, coords: jax.Array, normalize: bool = True) -
     count.  Unit-norm descriptors are invariant to that; pass False for
     strict reference-parity behavior.
     """
-    cubes = _orientation_cubes(img)  # (Q, H, W, 8)
-    offs = jnp.asarray(_grid_offsets())  # (25, 2)
-    ring = _ring_of_point()  # (25,)
-    xs = coords[:, 0:1] + offs[None, :, 0]  # (K, 25)
-    ys = coords[:, 1:2] + offs[None, :, 1]
-
-    parts = []
-    for p in range(offs.shape[0]):
-        c = cubes[int(ring[p])]
-        parts.append(_bilinear_gather(c, xs[:, p], ys[:, p]))  # (K, 8)
-    desc = jnp.concatenate(parts, axis=-1)  # (K, 200)
+    desc = _gather_descriptors(_orientation_cubes(img), coords)
     if normalize:
         desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
     return desc

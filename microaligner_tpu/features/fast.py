@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fast_score_map", "fast_detect_topk"]
+__all__ = ["fast_score_map", "fast_detect_topk", "fast_detect_topk_grid"]
 
 # Bresenham circle of radius 3, OpenCV pixel order, as (dy, dx)
 _RING = np.array(
@@ -42,16 +42,17 @@ def _ring_values(img: jax.Array) -> jax.Array:
     return jnp.stack(vals)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
-def fast_score_map(img: jax.Array, threshold: int = 1) -> jax.Array:
-    """Dense FAST-9/16 score map; 0 where not a corner or non-max.
+def _raw_score(img: jax.Array) -> jax.Array:
+    """Unmasked FAST-9/16 corner score at every pixel.
 
-    Score matches OpenCV's cornerScore<16>: the largest threshold at which the
-    pixel still passes, minus 1.
+    Matches OpenCV's cornerScore<16>: the largest threshold at which the
+    pixel still passes, minus 1.  u8 inputs compute in int16 (differences and
+    scores fit, and the (24, H, W) arc stack is the dominant transient at
+    whole-canvas sizes); wider dtypes keep int32.
     """
-    h, w = img.shape
-    v = _ring_values(img).astype(jnp.int32)  # (16, H, W)
-    p = img.astype(jnp.int32)[None]
+    dt = jnp.int16 if img.dtype == jnp.uint8 else jnp.int32
+    v = _ring_values(img).astype(dt)  # (16, H, W)
+    p = img.astype(dt)[None]
     bright = v - p   # want min over arc > threshold
     dark = p - v
 
@@ -61,18 +62,17 @@ def fast_score_map(img: jax.Array, threshold: int = 1) -> jax.Array:
         mins = [jnp.min(jax.lax.dynamic_slice_in_dim(dd, s, _ARC, 0), axis=0) for s in range(16)]
         return jnp.max(jnp.stack(mins), axis=0)
 
-    score = jnp.maximum(arc_score(bright), arc_score(dark)) - 1
+    return jnp.maximum(arc_score(bright), arc_score(dark)) - 1
 
-    # OpenCV only processes the region 3 px inside the frame; pixels outside it
-    # have no score and cannot suppress their neighbors — mask BEFORE the NMS.
-    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside = (iy >= 3) & (iy < h - 3) & (ix >= 3) & (ix < w - 3)
+
+def _nms_keep(score: jax.Array, inside: jax.Array, threshold: int) -> jax.Array:
+    """Mask + 3x3 non-max suppression: scores where the pixel is a kept
+    corner, 0 elsewhere.  Masking happens BEFORE the NMS (pixels outside the
+    processed region have no score and cannot suppress neighbors, like
+    OpenCV's frame handling)."""
+    h, w = score.shape
     is_corner = (score >= threshold) & inside
-
-    # 3x3 non-max suppression over corner scores (non-corners count as 0),
-    # strictly greater than all 8 neighbors, like OpenCV
-    s = jnp.where(is_corner, score, 0).astype(jnp.int32)
+    s = jnp.where(is_corner, score, 0)
     sp = jnp.pad(s, 1, mode="constant")
     neigh = jnp.stack(
         [
@@ -86,19 +86,30 @@ def fast_score_map(img: jax.Array, threshold: int = 1) -> jax.Array:
     return jnp.where(keep, s, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "threshold"))
-def fast_detect_topk(img: jax.Array, k: int, threshold: int = 1):
-    """Top-k corners by response with scan-order tie-break.
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def fast_score_map(img: jax.Array, threshold: int = 1) -> jax.Array:
+    """Dense FAST-9/16 score map; 0 where not a corner or non-max.
 
-    Returns ``(coords (k, 2) float32 [x, y], response (k,) float32,
-    valid (k,) bool)``.  Matches the reference's
-    ``sorted(kp, key=response, reverse=True)[:k]`` (feature_detection.py:107),
-    which is stable, i.e. ties keep detector scan order (row-major).
+    OpenCV only processes the region 3 px inside the frame; pixels outside it
+    have no score and cannot suppress their neighbors.
     """
     h, w = img.shape
-    s = fast_score_map(img, threshold=threshold).reshape(-1)
-    n = h * w
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (iy >= 3) & (iy < h - 3) & (ix >= 3) & (ix < w - 3)
+    return _nms_keep(_raw_score(img), inside, threshold).astype(jnp.int32)
+
+
+def _topk_rows(s: jax.Array, k: int, threshold: int):
+    """Per-row top-k by score with row-major (scan-order) tie-break.
+
+    ``s``: (..., n) int32 score rows.  Returns ``(top_idx (..., k) int32,
+    resp (..., k) float32, valid (..., k) bool)``.  Matches the reference's
+    ``sorted(kp, key=response, reverse=True)[:k]`` (feature_detection.py:107),
+    which is stable, i.e. ties keep detector scan order.
+    """
+    n = s.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
     if 256 * n - 1 <= np.iinfo(np.int32).max:
         # composite integer key: score major (<=255), reverse scan index minor
         key = s * n + (n - 1 - idx)
@@ -106,14 +117,63 @@ def fast_detect_topk(img: jax.Array, k: int, threshold: int = 1):
         valid = top_keys >= (threshold * n)  # score >= threshold
         resp = (top_keys // n).astype(jnp.float32)
     else:
-        # >= ~8.4 Mpix (TileSize >~ 2900): the composite key overflows int32,
-        # so fall back to a stable sort — ties keep scan order by stability
+        # >= ~8.4 Mpix rows (TileSize >~ 2900): the composite key overflows
+        # int32; fall back to a stable sort — ties keep scan order by stability
         neg, sorted_idx = jax.lax.sort((-s, idx), num_keys=1, is_stable=True)
-        top_s = -jax.lax.slice_in_dim(neg, 0, k, axis=0)
-        top_idx = jax.lax.slice_in_dim(sorted_idx, 0, k, axis=0)
+        top_s = -jax.lax.slice_in_dim(neg, 0, k, axis=-1)
+        top_idx = jax.lax.slice_in_dim(sorted_idx, 0, k, axis=-1)
         valid = top_s >= threshold
         resp = top_s.astype(jnp.float32)
+    return top_idx, resp, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "threshold"))
+def fast_detect_topk(img: jax.Array, k: int, threshold: int = 1):
+    """Top-k corners by response with scan-order tie-break.
+
+    Returns ``(coords (k, 2) float32 [x, y], response (k,) float32,
+    valid (k,) bool)``.
+    """
+    h, w = img.shape
+    s = fast_score_map(img, threshold=threshold).reshape(-1)
+    top_idx, resp, valid = _topk_rows(s, k, threshold)
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
+    coords = jnp.stack([xs, ys], axis=-1)
+    return coords, resp, valid
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "k", "threshold"))
+def fast_detect_topk_grid(canvas: jax.Array, tile_h: int, tile_w: int, k: int,
+                          threshold: int = 1):
+    """Per-tile FAST top-k on a whole tiling canvas in ONE dense program.
+
+    ``canvas`` is the zero-padded interior canvas ``(ny*tile_h, nx*tile_w)``
+    (the concatenation of every tile's interior view).  Bit-exact with running
+    ``fast_detect_topk`` on each ``(tile_h, tile_w)`` interior independently:
+    the per-tile 3-px processing frame is masked BEFORE the NMS, so masked
+    frame pixels cannot suppress across tile boundaries, and the top-k
+    tie-break index is the within-tile scan order.  Replaces the serial
+    per-tile ``lax.map`` (one whole-canvas score map + one batched top_k
+    instead of N small launches).
+
+    Returns ``(coords (N, k, 2) float32 tile-LOCAL [x, y], resp (N, k)
+    float32, valid (N, k) bool)`` with tiles in row-major grid order.
+    """
+    h, w = canvas.shape
+    ny, nx = h // tile_h, w // tile_w
+    score = _raw_score(canvas)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % tile_h
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % tile_w
+    inside = (iy >= 3) & (iy < tile_h - 3) & (ix >= 3) & (ix < tile_w - 3)
+    s = _nms_keep(score, inside, threshold).astype(jnp.int32)
+    rows = (
+        s.reshape(ny, tile_h, nx, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(ny * nx, tile_h * tile_w)
+    )
+    top_idx, resp, valid = _topk_rows(rows, k, threshold)
+    ys = (top_idx // tile_w).astype(jnp.float32)
+    xs = (top_idx % tile_w).astype(jnp.float32)
     coords = jnp.stack([xs, ys], axis=-1)
     return coords, resp, valid

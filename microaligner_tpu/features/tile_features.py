@@ -67,28 +67,58 @@ def _find_features_tiled(img: jax.Array, grid: TileGrid, k_per_tile: int):
     return _find_features_tiled_jit(img, grid, k_per_tile, current_tile_mesh())
 
 
+def _daisy_normalize() -> bool:
+    """MICROALIGNER_TPU_DAISY_NRM=0: reference strict-parity descriptors
+    (cv2 NRM_NONE, feature_detection.py:96-104).  Default 1 (unit-norm) —
+    invariant to the global min-max rescale DoG applies after warps;
+    tests/test_features.py::test_register_strict_parity_norm pins that both
+    modes recover the same transform on clean inputs.  Read at trace time."""
+    import os
+
+    return os.environ.get("MICROALIGNER_TPU_DAISY_NRM", "1") != "0"
+
+
+def _dense_level_enabled(grid: TileGrid) -> bool:
+    """Whole-level dense path gate.  MICROALIGNER_TPU_FEATURE_DENSE:
+    ``auto`` (default — on while the DAISY cube stack for the whole canvas
+    stays HBM-friendly), ``1`` force, ``0`` force the per-tile map."""
+    import os
+
+    mode = os.environ.get("MICROALIGNER_TPU_FEATURE_DENSE", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    max_mpix = float(os.environ.get("MICROALIGNER_TPU_FEATURE_DENSE_MAX_MPIX", "26"))
+    return grid.padded_h * grid.padded_w <= max_mpix * 1e6
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "k_per_tile", "mesh"))
 def _find_features_tiled_jit(img: jax.Array, grid: TileGrid, k_per_tile: int, mesh):
-    from microaligner_tpu.parallel.tile_runner import tile_map
+    """Tiled FAST+DAISY feature extraction -> flat global feature arrays.
 
-    tiles = split_into_tiles(img, grid)  # (N, ts+102, ts+102)
+    Two executions of the same semantics:
 
-    def per_tile(tile):
-        interior = tile[_HALO:-_HALO, _HALO:-_HALO]
-        coords, resp, valid = fast_detect_topk(interior, k_per_tile, threshold=1)
-        # DAISY sampled on the halo tile at interior coords — the reference's
-        # consistent (-51, -51) offset; cancels between ref and mov.
-        # (A dense pre-blended table + one row gather was tried and measured
-        # SLOWER than the 100 pipelined takes: ~10 ms vs ~6 ms per tile.)
-        desc = daisy_at_points(tile.astype(jnp.float32), coords)
-        return coords, desc, valid, resp
+    * DENSE (default for production level sizes): FAST runs once over the
+      whole zero-padded interior canvas with per-tile frame masking + per-tile
+      top-k (bit-exact with the per-tile detector), and DAISY orientation
+      cubes are computed once over the halo-padded canvas with ONE fused
+      multi-point gather for all keypoints.  One dense program — no serial
+      per-tile ``lax.map``, the round-3 feature-path bottleneck.  Cube borders
+      see real cross-tile context instead of tile-local reflections, which
+      perturbs descriptors near tile seams identically for ref and mov
+      (matching is unaffected; transform-level parity is what's pinned).
+    * TILED (big canvases / MICROALIGNER_TPU_FEATURE_DENSE=0): the per-tile
+      map over the worker mesh, bounded memory per tile.
+    """
+    normalize = _daisy_normalize()
 
-    # unbatched map: one tile's FAST scores + DAISY orientation maps at a
-    # time (a 1102^2 tile expands ~10x in the orientation stack), and the
-    # per-keypoint DAISY gathers compile/run worse in vmapped batch-1 form
-    coords, desc, valid, resp = tile_map(
-        per_tile, (tiles,), batch=1, mesh=mesh, unbatched=True
-    )
+    if _dense_level_enabled(grid):
+        coords, desc, valid, resp = _find_features_dense(img, grid, k_per_tile, normalize)
+    else:
+        coords, desc, valid, resp = _find_features_per_tile(
+            img, grid, k_per_tile, mesh, normalize
+        )
 
     # shift tile-local coords to global (tile_registration.py:53-66)
     tids = jnp.arange(grid.num_tiles)
@@ -103,6 +133,62 @@ def _find_features_tiled_jit(img: jax.Array, grid: TileGrid, k_per_tile: int, me
         valid.reshape(n),
         resp.reshape(n),
     )
+
+
+def _find_features_dense(img: jax.Array, grid: TileGrid, k_per_tile: int,
+                         normalize: bool):
+    """Whole-level dense FAST + DAISY (one program, no per-tile loop)."""
+    from microaligner_tpu.features.daisy import _gather_descriptors, _orientation_cubes
+    from microaligner_tpu.features.fast import fast_detect_topk_grid
+
+    ph, pw = grid.padded_h, grid.padded_w
+    interior_canvas = jnp.pad(
+        img, ((0, ph - grid.height), (0, pw - grid.width)), mode="constant"
+    )
+    coords, resp, valid = fast_detect_topk_grid(
+        interior_canvas, grid.tile_h, grid.tile_w, k_per_tile, threshold=1
+    )  # tile-local (N, k, ...)
+
+    # DAISY cubes over the halo-padded canvas (zero halos outside the image,
+    # like the per-tile slicer).  The reference samples the halo tile at
+    # interior coords — a consistent (-halo, -halo) offset
+    # (feature_detection.py:106-108); in canvas coordinates (= global + halo)
+    # that offset cancels exactly, so sampling happens at global coords.
+    halo_canvas = jnp.pad(
+        img.astype(jnp.float32),
+        ((_HALO, ph - grid.height + _HALO), (_HALO, pw - grid.width + _HALO)),
+        mode="constant",
+    )
+    cubes = _orientation_cubes(halo_canvas)
+    tids = jnp.arange(grid.num_tiles)
+    origin = jnp.stack(
+        [(tids % grid.nx) * grid.tile_w, (tids // grid.nx) * grid.tile_h], axis=-1
+    ).astype(jnp.float32)
+    global_coords = (coords + origin[:, None, :]).reshape(-1, 2)
+    desc = _gather_descriptors(cubes, global_coords)
+    if normalize:
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+    return coords, desc.reshape(grid.num_tiles, k_per_tile, -1), valid, resp
+
+
+def _find_features_per_tile(img: jax.Array, grid: TileGrid, k_per_tile: int,
+                            mesh, normalize: bool):
+    """Per-tile map over the worker mesh (bounded memory for huge canvases)."""
+    from microaligner_tpu.parallel.tile_runner import tile_map
+
+    tiles = split_into_tiles(img, grid)  # (N, ts+102, ts+102)
+
+    def per_tile(tile):
+        interior = tile[_HALO:-_HALO, _HALO:-_HALO]
+        coords, resp, valid = fast_detect_topk(interior, k_per_tile, threshold=1)
+        # DAISY sampled on the halo tile at interior coords — the reference's
+        # consistent (-51, -51) offset; cancels between ref and mov.
+        desc = daisy_at_points(tile.astype(jnp.float32), coords, normalize=normalize)
+        return coords, desc, valid, resp
+
+    # unbatched map: one tile's FAST scores + DAISY orientation maps at a
+    # time (a 1102^2 tile expands ~10x in the orientation stack)
+    return tile_map(per_tile, (tiles,), batch=1, mesh=mesh, unbatched=True)
 
 
 def find_features(img, tile_size: int) -> Features:

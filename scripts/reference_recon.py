@@ -266,3 +266,217 @@ class OptFlowRegistratorRecon:
                     mult = 4 if self.faithful_bugs else 2
                     m_flow = cv.pyrUp(m_flow * mult, dstsize=mov_pyr[lvl + 1].shape[::-1])
         return m_flow
+
+
+# ---- feature_reg/ -----------------------------------------------------------
+#
+# Reconstruction of the reference FeatureRegistrator for the CPU baseline:
+# the same kernel calls it makes (cv.FastFeatureDetector, FLANN knnMatch,
+# cv.estimateAffinePartial2D RANSAC, cv.warpAffine, sklearn NMI) with its
+# exact control flow (feature_registrator.py:75-278, feature_detection.py:
+# 88-158, tile_registration.py:29-97).  The one substitution: cv2-contrib's
+# DAISY is absent from this build, so descriptors come from daisy_cv below —
+# the same orientation-histogram math executed with cv.GaussianBlur (C-speed
+# separable convolution, the dominant cost in contrib's implementation too)
+# plus a vectorized numpy bilinear gather.  It is the honest stand-in the
+# round-3 review asked for: config-1 baselines now PAY for dense descriptor
+# computation instead of skipping it.
+
+_DAISY_R, _DAISY_QR, _DAISY_QT, _DAISY_QH = 21.0, 3, 8, 8
+
+
+def daisy_cv(img, coords):
+    """DAISY descriptors at (K, 2) [x, y] coords; cv2-blur backed."""
+    f = cv.GaussianBlur(img.astype(np.float32), (3, 3), 0.5)
+    gx = cv.Sobel(f, cv.CV_32F, 1, 0, ksize=1) * 0.5
+    gy = cv.Sobel(f, cv.CV_32F, 0, 1, ksize=1) * 0.5
+    layers = []
+    for o in range(_DAISY_QH):
+        t = 2.0 * np.pi * o / _DAISY_QH
+        layers.append(np.maximum(np.cos(t) * gx + np.sin(t) * gy, 0.0))
+    sigmas = [_DAISY_R * (i + 1) / (2 * _DAISY_QR) for i in range(_DAISY_QR)]
+    cubes, prev, cur = [], 0.0, layers
+    for s in sigmas:
+        inc = math.sqrt(s * s - prev * prev)
+        k = int(round(inc * 4)) * 2 + 1
+        cur = [cv.GaussianBlur(l, (k, k), inc) for l in cur]
+        cubes.append(np.stack(cur, axis=-1))  # (H, W, 8)
+        prev = s
+    grid = [(0.0, 0.0, 0)]
+    for ring in range(_DAISY_QR):
+        r = _DAISY_R * (ring + 1) / _DAISY_QR
+        for kk in range(_DAISY_QT):
+            a = 2.0 * np.pi * kk / _DAISY_QT
+            grid.append((r * np.cos(a), r * np.sin(a), ring))
+    h, w = img.shape
+    coords = np.asarray(coords, np.float32).reshape(-1, 2)
+    parts = []
+    for dx, dy, ring in grid:
+        x = np.clip(coords[:, 0] + dx, 0, w - 1.001)
+        y = np.clip(coords[:, 1] + dy, 0, h - 1.001)
+        x0, y0 = x.astype(np.int32), y.astype(np.int32)
+        x1, y1 = np.minimum(x0 + 1, w - 1), np.minimum(y0 + 1, h - 1)
+        tx, ty = (x - x0)[:, None], (y - y0)[:, None]
+        c = cubes[ring]
+        parts.append(
+            c[y0, x0] * (1 - tx) * (1 - ty) + c[y0, x1] * tx * (1 - ty)
+            + c[y1, x0] * (1 - tx) * ty + c[y1, x1] * tx * ty
+        )
+    return np.concatenate(parts, axis=-1).astype(np.float32)  # (K, 200)
+
+
+def find_features_recon(img, tile_size):
+    """tile_registration.py:29-97 + feature_detection.py:88-118: FAST on each
+    tile interior, top-k by response, DAISY on the halo tile at interior
+    coords, keypoints shifted to global coords, descriptors concatenated."""
+    overlap = 51
+    tiles, info = split_tiles(img, tile_size, overlap)
+    n_tiles = len(tiles)
+    limit = min(1_000_000 // n_tiles, 5000)
+    det = cv.FastFeatureDetector_create(
+        threshold=1, nonmaxSuppression=True, type=cv.FAST_FEATURE_DETECTOR_TYPE_9_16
+    )
+    all_pts, all_desc = [], []
+    for t_id, tile in enumerate(tiles):
+        interior = tile[overlap:-overlap, overlap:-overlap]
+        kps = det.detect(interior, None)
+        kps = sorted(kps, key=lambda kp: kp.response, reverse=True)[:limit]
+        if not kps:
+            continue
+        pts = np.asarray([kp.pt for kp in kps], np.float32)
+        desc = daisy_cv(tile, pts)  # halo tile at interior coords (the quirk)
+        oy = t_id // info["nx"] * tile_size
+        ox = t_id % info["nx"] * tile_size
+        all_pts.append(pts + [ox, oy])
+        all_desc.append(desc)
+    if not all_pts:
+        return np.zeros((0, 2), np.float32), np.zeros((0, 200), np.float32)
+    return np.concatenate(all_pts), np.concatenate(all_desc)
+
+
+def match_features_recon(ref_pts, ref_desc, mov_pts, mov_desc):
+    """feature_detection.py:121-158: FLANN knn(k=2) + 0.5 ratio + RANSAC."""
+    if len(ref_pts) < 3 or len(mov_pts) < 3:
+        return np.eye(2, 3)
+    matcher = cv.FlannBasedMatcher()
+    matches = matcher.knnMatch(mov_desc, ref_desc, k=2)
+    src, dst = [], []
+    for pair in matches:
+        if len(pair) == 2 and pair[0].distance < 0.5 * pair[1].distance:
+            src.append(mov_pts[pair[0].queryIdx])
+            dst.append(ref_pts[pair[0].trainIdx])
+    if len(src) < 3:
+        return np.eye(2, 3)
+    tmat, _ = cv.estimateAffinePartial2D(
+        np.asarray(src).reshape(-1, 1, 2), np.asarray(dst).reshape(-1, 1, 2),
+        method=cv.RANSAC, confidence=0.99,
+    )
+    return np.eye(2, 3) if tmat is None else tmat
+
+
+class FeatureRegistratorRecon:
+    """Reference FeatureRegistrator, transcribed (feature_registrator.py)."""
+
+    def __init__(self):
+        self.ref_img = None
+        self.mov_img = None
+        self.num_pyr_lvl = 3
+        self.num_iterations = 3
+        self.tile_size = 1000
+        self.use_full_res_img = False
+        self.use_dog = True
+        self._ref_pyr = None
+        self._ref_feats = None
+        self._factors = None
+
+    def _pyr(self, arr):
+        factors, levels = [], []
+        cur = arr
+        chain = []
+        for lvl in range(self.num_pyr_lvl):
+            factor = 2 ** (lvl + 1)
+            if arr.shape[0] / factor < 100 or arr.shape[1] / factor < 100:
+                break
+            cur = cv.pyrDown(cur)
+            chain.append(cur)
+            factors.append(factor)
+        levels = list(reversed(chain))
+        factors = list(reversed(factors))
+        if self.use_full_res_img:
+            levels.append(arr)
+            factors.append(1)
+        return levels, factors
+
+    @staticmethod
+    def _compose(mats):
+        res = np.vstack([mats[0], [0, 0, 1]])
+        for m in mats[1:]:
+            res = res @ np.vstack([m, [0, 0, 1]])
+        return res[:2]
+
+    @staticmethod
+    def _rescale(t_mat, scale):
+        out = t_mat.copy()
+        out[0, 2] *= scale
+        out[1, 2] *= scale
+        return out
+
+    @staticmethod
+    def _valid(t_mat, shape):
+        a, b, c, d = t_mat[0, 0], t_mat[1, 0], t_mat[0, 1], t_mat[1, 1]
+        det = a * d - b * c
+        if a != 0 or b != 0:
+            r = math.sqrt(a * a + b * b)
+            scale = (r, det / r)
+        elif c != 0 or d != 0:
+            s = math.sqrt(c * c + d * d)
+            scale = (det / s, s)
+        else:
+            return False
+        if not (0.3 <= abs(scale[0]) <= 3 and 0.3 <= abs(scale[1]) <= 3):
+            return False
+        cy, cx = shape[0] // 2, shape[1] // 2
+        hom = np.vstack([t_mat, [0, 0, 1]])
+        center = hom @ np.array([cx, cy, 1.0])
+        border = np.array([shape[1], shape[0], 1.0])
+        return not np.any(border - np.abs(center) < 0)
+
+    def register(self):
+        self._ref_pyr, self._factors = self._pyr(self.ref_img)
+        self._ref_feats = [
+            find_features_recon(dog(lvl, self.use_dog), self.tile_size)
+            for lvl in self._ref_pyr
+        ]
+        mov_pyr, _ = self._pyr(self.mov_img)
+        fullscale = []
+        for i, factor in enumerate(self._factors):
+            mov_lvl = mov_pyr[i]
+            if i > 0:
+                rescaled = [self._rescale(m, 1 / factor) for m in fullscale]
+                mov_lvl = cv.warpAffine(
+                    mov_lvl, self._compose(rescaled), mov_lvl.shape[::-1]
+                )
+            ref_lvl = self._ref_pyr[i]
+            ref_pts, ref_desc = self._ref_feats[i]
+            mats = []
+            aligned = mov_lvl
+            for _ in range(self.num_iterations):
+                mov_pts, mov_desc = find_features_recon(
+                    dog(aligned, self.use_dog), self.tile_size
+                )
+                est = match_features_recon(ref_pts, ref_desc, mov_pts, mov_desc)
+                cand = cv.warpAffine(aligned, est, aligned.shape[::-1])
+                ok = check_if_higher_similarity(
+                    dog(ref_lvl, True), dog(cand, True), dog(aligned, True),
+                    self.tile_size,
+                )
+                if any(ok) and self._valid(est, mov_lvl.shape):
+                    mats.append(est)
+                    aligned = cv.warpAffine(
+                        mov_lvl if i > 0 else mov_pyr[i], self._compose(mats),
+                        aligned.shape[::-1],
+                    )
+                else:
+                    mats.append(np.eye(2, 3))
+            fullscale.append(self._rescale(self._compose(mats), factor))
+        return self._compose(fullscale)

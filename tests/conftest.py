@@ -21,9 +21,17 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic rng, seeded from the test's nodeid.
+
+    A session-scoped shared generator made every test's data depend on which
+    tests ran before it (a test could pass in the full suite and fail when its
+    file was run alone).  crc32 of the nodeid is stable across processes
+    (unlike hash(), which is salted)."""
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(autouse=True)
