@@ -69,7 +69,7 @@ CORES = 32.0  # BASELINE.md comparator: perfect 32-core scaling credited
 # --measure-cpu after changing sizes/params — CPU_BASELINE_PROVENANCE below is
 # emitted into every bench JSON so a stale recording is visible, not silent.
 RECORDED_CPU_SERIAL_S = {
-    "1_feature_pair": 0.96,   # FeatureRegistratorRecon full driver (FAST+DAISY+FLANN+RANSAC+MI), 4096²
+    "1_feature_pair": 78.5,   # FeatureRegistratorRecon full driver (FAST+DAISY+FLANN+RANSAC+MI), 4096²
     "2_optflow_pair": 26.6,   # 25 halo tiles Farneback win99 iter3 + remap, 4096²
     "3_chained_mse": 58.0,    # reference_recon 2-lvl pyramid register, 2048²
     "4_zstack_apply": 0.94,   # 8 × u16 4096² cv2.remap planes
@@ -81,7 +81,7 @@ RECORDED_CPU_SERIAL_S = {
 # workload-defining knobs of every config; --measure-cpu prints it so a
 # recording made under different sizes/params is visibly stale in the JSON.
 CPU_BASELINE_PROVENANCE = {
-    "measured_at": "2026-08-17",
+    "measured_at": "2026-08-18 (config 1; others 2026-08-17)",
     "cv2": "5.0.0",
     "params": "1:4096/pyr3/iter3/tile1000 2:4096/tile1000/ov100/iter3 "
               "3:2048/pyr2/iter3 4:4096/u16x8 5:20480/tile1000/ov100/iter3",
@@ -640,7 +640,8 @@ def bench_20k_cli(size=20480, tile_size=1000, overlap=100):
         out_tif = work / "out" / "optflow_reg_result_stack.tif"
         with TiffFile(str(out_tif)) as tf:
             reg = tf.read_page(2).astype(np.float32)
-        inner = (slice(512, -512), slice(512, -512))
+        margin = max(64, size // 40)  # 512 px at the 20480 production size
+        inner = (slice(margin, -margin), slice(margin, -margin))
         mse_after = float(np.mean(((reg[inner] - ref[inner].astype(np.float32)) / 65535.0) ** 2))
         mse_before = float(np.mean(((cyc2[inner].astype(np.float32) - ref[inner]) / 65535.0) ** 2))
 

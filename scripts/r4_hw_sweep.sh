@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 on-hardware sweep: run everything that needs the TPU tunnel, in
+# priority order, saving outputs under /tmp/r4_hw/.  Safe to re-run; each
+# stage is skipped if its output already exists (delete to redo).
+#
+#   bash scripts/r4_hw_sweep.sh            # all stages
+#   bash scripts/r4_hw_sweep.sh bench      # one stage
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/r4_hw
+mkdir -p "$OUT"
+STAGE="${1:-all}"
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -s "$OUT/$name.out" ]; then echo "== $name: exists, skip"; return; fi
+  echo "== $name: $*"
+  timeout "$tmo" "$@" > "$OUT/$name.out" 2>&1
+  echo "   rc=$? ($(wc -l < "$OUT/$name.out") lines)"
+}
+
+# 1. the ship-gate: full bench incl. e2e CLI config (writes BENCH_LAST_GOOD.json)
+[ "$STAGE" = all ] || [ "$STAGE" = bench ] && \
+  run bench 1500 env MICROALIGNER_BENCH_BUDGET_S=900 python bench.py
+
+# 2. attribute the 20k 231->109 Mpix/s drop
+[ "$STAGE" = all ] || [ "$STAGE" = p20k ] && \
+  run profile_20k 1800 python scripts/profile_20k.py
+
+# 3. feature engine stage profile (dense path)
+[ "$STAGE" = all ] || [ "$STAGE" = pfeat ] && \
+  run profile_feature 1200 python scripts/profile_feature.py
+
+# 4. bf16 R0/R1 parity sweep (VERDICT item 6)
+[ "$STAGE" = all ] || [ "$STAGE" = rbf16 ] && \
+  run parity_rbf16 1500 env MICROALIGNER_TPU_R_BF16=1 python scripts/tpu_parity_check.py --sweep
+
+# 5. A/B knobs (VERDICT item 8): static split + tile batch on the 20k step
+[ "$STAGE" = all ] || [ "$STAGE" = knobs ] && {
+  run ab_static_split 1200 env MICROALIGNER_TPU_FLOW_STATIC_SPLIT=1 python bench.py --only 5
+  run ab_batch8  1200 env MICROALIGNER_TPU_FLOW_TILE_BATCH=8  python bench.py --only 5
+  run ab_batch32 1200 env MICROALIGNER_TPU_FLOW_TILE_BATCH=32 python bench.py --only 5
+}
+
+echo "all requested stages done; outputs in $OUT"
