@@ -80,6 +80,56 @@ def _blur_operator(size: int, ksize: int, sigma: float) -> np.ndarray:
     return B.astype(np.float32)
 
 
+_BANDED_BLOCK = 512  # output rows per banded-blur block (multiple of 8 lanes)
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_band(block: int, ksize: int, sigma: float) -> np.ndarray:
+    """(block, block + ksize - 1) Toeplitz correlation matrix: row i holds the
+    kernel at offset i.  One shared operator for EVERY interior block of a
+    banded blur — per-pixel MAC cost stays O(block) instead of O(axis size),
+    which is what keeps whole-canvas (dense-level) blurs from scaling as n^3.
+    """
+    k = gaussian_kernel(ksize, sigma).astype(np.float64)
+    T = np.zeros((block, block + ksize - 1), np.float64)
+    for i in range(block):
+        T[i, i : i + ksize] = k
+    return T.astype(np.float32)
+
+
+def _blur_axis_banded(x: jax.Array, axis: int, ksize: int, sigma: float,
+                      precision) -> jax.Array:
+    """Banded blur-operator matmul along ``axis`` (must be -2 or -1).
+
+    REFLECT_101-pad the axis by r, zero-pad the tail to a block multiple,
+    contract every block window with the shared Toeplitz band, concatenate,
+    crop.  Identical math to the dense ``_blur_operator`` contraction (the
+    reflect fold is the pad; the zero tail only feeds cropped rows).
+    """
+    size = x.shape[axis]
+    r = (ksize - 1) // 2
+    block = _BANDED_BLOCK
+    nb = -(-size // block)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad, mode="reflect")
+    tail = [(0, 0)] * x.ndim
+    tail[axis] = (0, nb * block - size)
+    xp = jnp.pad(xp, tail, mode="constant")
+    T = jnp.asarray(_toeplitz_band(block, ksize, float(sigma)))
+    win = block + 2 * r
+    eq = "ij,...jw->...iw" if axis in (-2, x.ndim - 2) else "ij,...j->...i"
+    outs = [
+        jnp.einsum(
+            eq, T, jax.lax.slice_in_dim(xp, j * block, j * block + win, axis=axis),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        for j in range(nb)
+    ]
+    out = jnp.concatenate(outs, axis=axis)
+    return jax.lax.slice_in_dim(out, 0, size, axis=axis)
+
+
 def gaussian_blur_mxu(
     x: jax.Array, ksize: int, sigma: float,
     precision=jax.lax.Precision.HIGHEST,
@@ -94,14 +144,27 @@ def gaussian_blur_mxu(
     DEFAULT rounds inputs to bf16 with f32 accumulation (~0.4% relative,
     ~6x faster) — fine for consumers that only need implementation-consistent
     outputs (e.g. DAISY descriptors).
+
+    Long axes switch to block-banded operators (one shared Toeplitz band over
+    ``_BANDED_BLOCK``-row windows): a dense (size, size) operator costs
+    O(size) MACs per pixel, which at whole-canvas sizes (the dense feature
+    path) both blows up FLOPs and embeds a quadratically-growing constant.
     """
     h, w = x.shape[-2], x.shape[-1]
-    bh = jnp.asarray(_blur_operator(h, ksize, float(sigma)))
-    bw = bh if w == h else jnp.asarray(_blur_operator(w, ksize, float(sigma)))
-    y = jnp.einsum("ij,...jw->...iw", bh, x,
-                   precision=precision, preferred_element_type=jnp.float32)
-    return jnp.einsum("...hj,wj->...hw", y, bw,
-                      precision=precision, preferred_element_type=jnp.float32)
+
+    def one_axis(arr, axis, size):
+        if size > _BANDED_BLOCK + ksize - 1:
+            return _blur_axis_banded(arr, axis, ksize, sigma, precision)
+        b = jnp.asarray(_blur_operator(size, ksize, float(sigma)))
+        eq = ("ij,...jw->...iw") if axis in (-2, arr.ndim - 2) else ("...hj,wj->...hw")
+        if axis in (-2, arr.ndim - 2):
+            return jnp.einsum(eq, b, arr, precision=precision,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum(eq, arr, b, precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    y = one_axis(x, -2, h)
+    return one_axis(y, -1, w)
 
 
 def _reflect101_pad_2d(img: jax.Array, pad_h: int, pad_w: int) -> jax.Array:

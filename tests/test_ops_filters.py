@@ -130,3 +130,24 @@ class TestPyramids:
         ours = np.asarray(filters.pyr_up(flow, (80, 100)))
         theirs = cv.pyrUp(flow, dstsize=(100, 80))
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_banded_blur_matches_dense_operator():
+    """The block-banded Toeplitz blur (long axes) must equal the dense
+    blur-operator contraction it replaces — same REFLECT_101 fold, same
+    kernel; only the contraction blocking differs."""
+    import jax.numpy as jnp
+
+    import microaligner_tpu.ops.filters as F
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 700, 1111)).astype(np.float32))
+    for ksize, sigma in ((29, 3.5), (63, 7.9)):
+        got = F.gaussian_blur_mxu(x, ksize, sigma)
+        old = F._BANDED_BLOCK
+        try:
+            F._BANDED_BLOCK = 10**6  # force the dense operator route
+            want = F.gaussian_blur_mxu(x, ksize, sigma)
+        finally:
+            F._BANDED_BLOCK = old
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
