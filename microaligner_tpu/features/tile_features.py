@@ -81,7 +81,8 @@ def _daisy_normalize() -> bool:
 def _dense_level_enabled(grid: TileGrid) -> bool:
     """Whole-level dense path gate.  MICROALIGNER_TPU_FEATURE_DENSE:
     ``auto`` (default — on while the DAISY cube stack for the whole canvas
-    stays HBM-friendly), ``1`` force, ``0`` force the per-tile map."""
+    stays HBM-friendly; larger canvases use the banded per-grid-row dense
+    path), ``1`` force whole-level, ``0`` force the legacy per-tile map."""
     import os
 
     mode = os.environ.get("MICROALIGNER_TPU_FEATURE_DENSE", "auto")
@@ -91,6 +92,12 @@ def _dense_level_enabled(grid: TileGrid) -> bool:
         return True
     max_mpix = float(os.environ.get("MICROALIGNER_TPU_FEATURE_DENSE_MAX_MPIX", "26"))
     return grid.padded_h * grid.padded_w <= max_mpix * 1e6
+
+
+def _per_tile_forced() -> bool:
+    import os
+
+    return os.environ.get("MICROALIGNER_TPU_FEATURE_DENSE", "auto") == "0"
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "k_per_tile", "mesh"))
@@ -115,8 +122,12 @@ def _find_features_tiled_jit(img: jax.Array, grid: TileGrid, k_per_tile: int, me
 
     if _dense_level_enabled(grid):
         coords, desc, valid, resp = _find_features_dense(img, grid, k_per_tile, normalize)
-    else:
+    elif _per_tile_forced():
         coords, desc, valid, resp = _find_features_per_tile(
+            img, grid, k_per_tile, mesh, normalize
+        )
+    else:
+        coords, desc, valid, resp = _find_features_banded(
             img, grid, k_per_tile, mesh, normalize
         )
 
@@ -169,6 +180,66 @@ def _find_features_dense(img: jax.Array, grid: TileGrid, k_per_tile: int,
     if normalize:
         desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
     return coords, desc.reshape(grid.num_tiles, k_per_tile, -1), valid, resp
+
+
+def _find_features_banded(img: jax.Array, grid: TileGrid, k_per_tile: int,
+                          mesh, normalize: bool):
+    """Per-grid-ROW dense FAST + DAISY for canvases too big for the
+    whole-level path: each band is one tile row processed with full-width
+    vectorization (the block-banded blur keeps cube cost O(1) per pixel at
+    any width), bounded by one band's cube stack instead of the canvas's.
+
+    The band axis is shardable over the worker mesh exactly like the tile
+    axis (tile_map over band indices with broadcast canvases), so
+    ``NumberOfWorkers`` keeps meaning at 20k-class feature levels.  FAST is
+    bit-exact with the per-tile detector (same frame masking, the band edges
+    ARE tile boundaries); DAISY cubes see full-width context and ±halo rows
+    of vertical context (band-edge clamping replaces tile-edge clamping —
+    consistent for ref and mov, like the whole-level path's seam behavior).
+    """
+    from microaligner_tpu.features.daisy import _gather_descriptors, _orientation_cubes
+    from microaligner_tpu.features.fast import fast_detect_topk_grid
+    from microaligner_tpu.parallel.tile_runner import tile_map
+
+    ph, pw = grid.padded_h, grid.padded_w
+    th, tw = grid.tile_h, grid.tile_w
+    interior_canvas = jnp.pad(
+        img, ((0, ph - grid.height), (0, pw - grid.width)), mode="constant"
+    )
+    halo_canvas = jnp.pad(
+        img.astype(jnp.float32),
+        ((_HALO, ph - grid.height + _HALO), (_HALO, pw - grid.width + _HALO)),
+        mode="constant",
+    )
+
+    def band(i, icanvas, hcanvas):
+        bi = jax.lax.dynamic_slice(icanvas, (i * th, 0), (th, pw))
+        coords, resp, valid = fast_detect_topk_grid(bi, th, tw, k_per_tile, threshold=1)
+        bh = jax.lax.dynamic_slice(hcanvas, (i * th, 0), (th + 2 * _HALO, pw + 2 * _HALO))
+        cubes = _orientation_cubes(bh)
+        # sampling coords in band-halo frame: x = global x (halo offset and
+        # the reference's (-halo, -halo) quirk cancel, as in the dense path),
+        # y = tile-local y (the band row IS the tile row)
+        ox = (jnp.arange(grid.nx) * tw).astype(jnp.float32)
+        sample = coords + jnp.stack([ox, jnp.zeros_like(ox)], axis=-1)[:, None, :]
+        desc = _gather_descriptors(cubes, sample.reshape(-1, 2))
+        if normalize:
+            desc = desc / jnp.maximum(
+                jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
+            )
+        return coords, desc.reshape(grid.nx, k_per_tile, -1), valid, resp
+
+    coords, desc, valid, resp = tile_map(
+        band, (jnp.arange(grid.ny),), batch=1, mesh=mesh, unbatched=True,
+        broadcast=(interior_canvas, halo_canvas),
+    )  # (ny, nx, k, ...)
+    n = grid.num_tiles
+    return (
+        coords.reshape(n, k_per_tile, 2),
+        desc.reshape(n, k_per_tile, -1),
+        valid.reshape(n, k_per_tile),
+        resp.reshape(n, k_per_tile),
+    )
 
 
 def _find_features_per_tile(img: jax.Array, grid: TileGrid, k_per_tile: int,

@@ -86,6 +86,52 @@ class TestRansac:
         assert count == 0
 
 
+class TestFeaturePathDispatch:
+    """The three find_features executions — whole-level dense (default for
+    small canvases), banded per-grid-row dense (large canvases), legacy
+    per-tile map (MICROALIGNER_TPU_FEATURE_DENSE=0) — share FAST semantics
+    bit-exactly; descriptors may differ near tile seams (cube context) but
+    matching must recover the same transform."""
+
+    def _run(self, img, tile, mode, max_mpix=None, monkeypatch=None):
+        import jax
+
+        monkeypatch.setenv("MICROALIGNER_TPU_FEATURE_DENSE", mode)
+        if max_mpix is not None:
+            monkeypatch.setenv("MICROALIGNER_TPU_FEATURE_DENSE_MAX_MPIX", max_mpix)
+        jax.clear_caches()
+        f = find_features(img, tile)
+        import jax as j
+
+        j.block_until_ready((f.coords, f.descriptors))
+        return f
+
+    def test_three_paths_agree(self, rng, monkeypatch):
+        import jax
+
+        img = _textured(rng, 300, 320, sigma=1.5)
+        t = np.float32([[1, 0, 5.0], [0, 1, -3.0]])
+        mov = cv.warpAffine(img, t, (320, 300))
+
+        dense = self._run(img, 128, "1", monkeypatch=monkeypatch)
+        tiled = self._run(img, 128, "0", monkeypatch=monkeypatch)
+        banded = self._run(img, 128, "auto", "0.0001", monkeypatch=monkeypatch)
+        for f in (tiled, banded):
+            np.testing.assert_array_equal(np.asarray(f.valid), np.asarray(dense.valid))
+            np.testing.assert_array_equal(np.asarray(f.coords), np.asarray(dense.coords))
+            np.testing.assert_array_equal(
+                np.asarray(f.responses), np.asarray(dense.responses)
+            )
+
+        # matching recovers the same translation through every path
+        for mode, mpix in (("1", None), ("0", None), ("auto", "0.0001")):
+            fr = self._run(img, 128, mode, mpix, monkeypatch=monkeypatch)
+            fm = self._run(mov, 128, mode, mpix, monkeypatch=monkeypatch)
+            tmat = match_features(fr, fm)
+            np.testing.assert_allclose(tmat[:, 2], [-5.0, 3.0], atol=0.5)
+        jax.clear_caches()
+
+
 class TestEndToEnd:
     def test_find_features_on_blank(self):
         f = find_features(np.zeros((200, 200), np.uint8), 1000)
