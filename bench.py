@@ -118,11 +118,26 @@ def _emit():
 def _save_last_good():
     """Persist the current snapshot as the last successful on-hardware run,
     so a later tunnel-down skip can still point at real measured numbers
-    (clearly labeled as a prior run, never as this run's result)."""
+    (clearly labeled as a prior run, never as this run's result).
+
+    MERGES per-config into the committed snapshot: only configs that produced
+    a measured ``value`` this run replace their entry (each stamped with its
+    own measured_at), so a partial run — tunnel dying mid-bench, ``--only``
+    reruns, budget skips — never erases a previously measured config."""
     try:
-        snap = {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        snap.update({k: _STATE[k] for k in ("metric", "value", "unit", "vs_baseline")})
-        snap["configs"] = _STATE["detail"]["configs"]
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        try:
+            with open(_LAST_GOOD) as fh:
+                snap = json.load(fh)
+        except (OSError, ValueError):
+            snap = {}
+        snap.setdefault("configs", {})
+        for key, cfg in _STATE["detail"]["configs"].items():
+            if isinstance(cfg, dict) and cfg.get("value") is not None:
+                snap["configs"][key] = dict(cfg, measured_at=now)
+        if _STATE["value"] is not None:
+            snap["measured_at"] = now
+            snap.update({k: _STATE[k] for k in ("metric", "value", "unit", "vs_baseline")})
         with open(_LAST_GOOD, "w") as fh:
             json.dump(snap, fh, indent=1)
     except OSError:
@@ -758,6 +773,14 @@ def main():
             _STATE["detail"]["configs"]["5b_20k_cli"] = {
                 "skipped": "insufficient remaining budget (needs ~240s)"
             }
+    # If the probe passed but every config still failed (tunnel died mid-run),
+    # the final snapshot must still carry the committed last-good numbers.
+    if _STATE["value"] is None and "last_measured_run" not in _STATE["detail"]:
+        try:
+            with open(_LAST_GOOD) as fh:
+                _STATE["detail"]["last_measured_run"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
     _emit()
     return 0
 

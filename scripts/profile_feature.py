@@ -91,6 +91,27 @@ def main():
             mesh, lvl_dev.dtype.name),
           f"fused align lvl{i} {lvl.shape} tiles={grid.num_tiles} k={k}")
 
+    # sub-stage split at the finest level: detection+description vs matching
+    # vs RANSAC (attributes the fused-align time; each jitted alone)
+    from microaligner_tpu.features.match import match_descriptors
+    from microaligner_tpu.features.ransac import estimate_affine_partial_2d
+
+    lvl = pyr[-1]
+    f_ref = feats[-1]
+    mov_f = find_features(_dog(lvl, True), reg.tile_size)
+    t(lambda: jax.block_until_ready(
+        find_features(_dog(lvl, True), reg.tile_size).descriptors),
+      f"  find_features (mov, finest {lvl.shape})")
+    t(lambda: match_descriptors(
+        f_ref.descriptors, mov_f.descriptors, f_ref.valid, mov_f.valid),
+      f"  match_descriptors ({f_ref.descriptors.shape[0]} x {mov_f.descriptors.shape[0]})")
+    good, ridx = match_descriptors(
+        f_ref.descriptors, mov_f.descriptors, f_ref.valid, mov_f.valid)
+    dst = jnp.take(f_ref.coords, ridx, axis=0)
+    t(lambda: estimate_affine_partial_2d(
+        mov_f.coords, dst, valid=good, nvalid_hint=int(jnp.sum(good))),
+      "  ransac fit")
+
 
 if __name__ == "__main__":
     main()
