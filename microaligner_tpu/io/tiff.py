@@ -4,10 +4,13 @@ Covers what the registration pipeline needs (the subset of tifffile the
 reference exercises — SURVEY §2.10):
 
 Reader: classic (42) and BigTIFF (43), little/big endian, strip and tile
-layouts, compression none/LZW/deflate(+zlib)/PackBits/zstd, horizontal predictor,
-1 sample per pixel (grayscale microscopy) or N contiguous samples, 8/16/32-bit
-unsigned, float32.  Page data is decoded one page at a time (the reference's
-"keeps only one image page in memory" property).
+layouts, compression none/LZW/deflate(+zlib)/PackBits/zstd/LZMA, new-style
+JPEG (7, incl. JPEGTables splicing), old-style JPEG (6, JPEGInterchangeFormat
+layout), JPEG 2000 (34712 + Aperio 33003/33005, lossless u16 supported), WebP
+(50001), horizontal predictor, 1 sample per pixel (grayscale microscopy) or N
+contiguous samples, 8/16/32-bit unsigned, float32.  Page data is decoded one
+page at a time (the reference's "keeps only one image page in memory"
+property).
 
 Writer: contiguous uncompressed BigTIFF with a (T, C, Z, Y, X) plane layout,
 OME-XML in the first ImageDescription, addressable through a numpy memmap —
@@ -51,6 +54,8 @@ _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
 _T_JPEG_TABLES = 347
+_T_JPEG_IF = 513  # JPEGInterchangeFormat: old-style (compression 6) JPEG stream
+_T_JPEG_IF_LEN = 514
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
@@ -74,6 +79,8 @@ class TiffPage:
     tile_counts: List[int] = field(default_factory=list)
     description: Optional[str] = None
     jpeg_tables: Optional[bytes] = None
+    jpeg_if_offset: int = 0  # old-style JPEG: whole-page JIF stream location
+    jpeg_if_length: int = 0
 
     @property
     def dtype(self) -> np.dtype:
@@ -130,8 +137,9 @@ def _decode_jpeg_block(data: bytes, page: TiffPage) -> np.ndarray:
     the package uses it at runtime): JPEG is a lossy consumer codec with no
     place on the TPU compute path, and the reference reads it through
     tifffile's optional imagecodecs dependency in exactly the same spirit.
-    8-bit baseline/progressive only (cv2's JPEG support); 12-bit JPEG and
-    old-style (compression 6) raise as unsupported.
+    8-bit baseline/progressive only (cv2's JPEG support); 12-bit JPEG
+    raises as unsupported.  Old-style (compression 6) pages reuse this for
+    their whole-page JPEGInterchangeFormat stream (``read_page``).
     """
     try:
         import cv2
@@ -152,6 +160,31 @@ def _decode_jpeg_block(data: bytes, page: TiffPage) -> np.ndarray:
         raise ValueError("JPEG block failed to decode")
     if page.samples_per_pixel > 1:
         arr = arr[..., ::-1]  # cv2 returns BGR; TIFF wants RGB order
+    return arr
+
+
+def _decode_cv2_unchanged(data: bytes, page: TiffPage, codec: str) -> np.ndarray:
+    """Decode a JPEG2000 / WebP block with OpenCV, preserving bit depth.
+
+    JPEG 2000 blocks are either a JP2 container or a raw J2K codestream
+    (Aperio writes the latter); cv2's OpenJPEG backend accepts both.
+    ``IMREAD_UNCHANGED`` keeps uint16 JP2 pixels intact (the one JPEG-family
+    codec with a lossless u16 mode microscopy actually uses).
+    """
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - cv2 is present in CI
+        raise ValueError(f"{codec}-compressed TIFF requires OpenCV (cv2)") from e
+
+    arr = cv2.imdecode(np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_UNCHANGED)
+    if arr is None:
+        raise ValueError(f"{codec} block failed to decode")
+    if page.samples_per_pixel == 1:
+        if arr.ndim == 3:  # e.g. a gray image stored as RGB by the encoder
+            arr = arr[..., 0]
+        return arr
+    if arr.ndim == 3 and arr.shape[-1] >= 3:
+        arr = arr[..., 2::-1] if arr.shape[-1] == 3 else arr[..., [2, 1, 0, 3]]
     return arr
 
 
@@ -262,6 +295,14 @@ class TiffFile:
                 # abbreviated tables stream (SOI..tables..EOI), raw bytes
                 page.jpeg_tables = bytes(payload[:cnt])
                 continue
+            if tag in (_T_JPEG_IF, _T_JPEG_IF_LEN):
+                val0 = self._tag_values(typ, cnt, payload)
+                if val0:
+                    if tag == _T_JPEG_IF:
+                        page.jpeg_if_offset = int(val0[0])
+                    else:
+                        page.jpeg_if_length = int(val0[0])
+                continue
             v = self._tag_values(typ, cnt, payload)
             if v is None:
                 continue
@@ -348,6 +389,13 @@ class TiffFile:
             # crop the codec's MCU-padded output to the block extent
             arr = _decode_jpeg_block(data, page)
             return arr[:rows, :cols]
+        elif page.compression in (34712, 33003, 33005):
+            # JPEG 2000: official tag + the two Aperio SVS raw-codestream tags
+            arr = _decode_cv2_unchanged(data, page, "JPEG2000")
+            return arr[:rows, :cols]
+        elif page.compression == 50001:  # WebP (BigTIFF extension tag)
+            arr = _decode_cv2_unchanged(data, page, "WebP")
+            return arr[:rows, :cols]
         else:
             # JPEG-family and exotic codecs are documented out of scope
             # (PARITY.md); the reference reads them via tifffile's imagecodecs
@@ -371,6 +419,23 @@ class TiffFile:
         page = self.pages[index]
         fh = self._fh
         spp = page.samples_per_pixel
+        if page.compression == 6:
+            # Old-style JPEG: the overwhelmingly common layout stores one
+            # complete JIF stream per page at JPEGInterchangeFormat (tag 513);
+            # strip offsets, if present, alias into it and are ignored.  The
+            # tables-in-tags variant (JPEGQTables/DC/ACTables, no JIF) was
+            # never produced by mainstream writers and raises clearly.
+            if not page.jpeg_if_offset:
+                raise ValueError(
+                    "old-style JPEG (compression 6) without a "
+                    "JPEGInterchangeFormat stream is unsupported"
+                )
+            fh.seek(0, 2)
+            end = fh.tell()
+            length = page.jpeg_if_length or end - page.jpeg_if_offset
+            fh.seek(page.jpeg_if_offset)
+            arr = _decode_jpeg_block(fh.read(length), page)
+            return arr[: page.length, : page.width]
         out_shape = (page.length, page.width) if spp == 1 else (page.length, page.width, spp)
         out = np.empty(out_shape, dtype=page.dtype)
         if page.is_tiled:

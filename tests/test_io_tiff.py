@@ -312,6 +312,93 @@ class TestReadForeignTiffs:
             assert tf.pages[0].is_tiled
             np.testing.assert_array_equal(tf.read_page(0), expect)
 
+    def test_jpeg2000_u16_strip_lossless(self, tmp_path, rng):
+        """Compression 34712: a lossless uint16 JP2 stream round-trips
+        bit-exact (the JPEG-family mode microscopy archives actually use)."""
+        import cv2 as cv
+
+        img = rng.integers(0, 65535, size=(48, 64)).astype(np.uint16)
+        ok, enc = cv.imencode(".jp2", img, [cv.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+        assert ok
+        p = tmp_path / "j2k.tif"
+        p.write_bytes(self._tiff_single_strip(enc.tobytes(), img.shape, 34712, bits=16))
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].compression == 34712
+            np.testing.assert_array_equal(tf.read_page(0), img)
+
+    def test_jpeg2000_raw_codestream_aperio(self, tmp_path, rng):
+        """Aperio tags (33003) store a RAW J2K codestream (no JP2 container);
+        the decoder must accept it."""
+        import cv2 as cv
+
+        img = rng.integers(0, 65535, size=(40, 56)).astype(np.uint16)
+        ok, enc = cv.imencode(".jp2", img, [cv.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+        assert ok
+        blob = enc.tobytes()
+        i = blob.find(b"\xff\x4f\xff\x51")  # SOC..SIZ: codestream start
+        assert i > 0
+        p = tmp_path / "aperio.tif"
+        p.write_bytes(self._tiff_single_strip(blob[i:], img.shape, 33003, bits=16))
+        with TiffFile(str(p)) as tf:
+            np.testing.assert_array_equal(tf.read_page(0), img)
+
+    def test_webp_strip(self, tmp_path, rng):
+        """Compression 50001: WebP-compressed strip decodes to cv2's own
+        decode of the same bytes (WebP is 8-bit; gray stored via its RGB)."""
+        import cv2 as cv
+
+        img = cv.GaussianBlur(
+            rng.integers(0, 255, size=(48, 64)).astype(np.uint8), (0, 0), 2.0
+        )
+        ok, enc = cv.imencode(".webp", img, [cv.IMWRITE_WEBP_QUALITY, 101])  # >100 = lossless
+        assert ok
+        golden = cv.imdecode(np.frombuffer(enc.tobytes(), np.uint8), cv.IMREAD_UNCHANGED)
+        if golden.ndim == 3:
+            golden = golden[..., 0]
+        p = tmp_path / "w.tif"
+        p.write_bytes(self._tiff_single_strip(enc.tobytes(), img.shape, 50001))
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].compression == 50001
+            np.testing.assert_array_equal(tf.read_page(0), golden)
+            np.testing.assert_array_equal(tf.read_page(0), img)  # lossless mode
+
+    def test_old_style_jpeg_interchange_format(self, tmp_path, rng):
+        """Compression 6 with JPEGInterchangeFormat/-Length (tags 513/514):
+        the whole-page JIF stream decodes; strip entries are ignored."""
+        import struct
+
+        import cv2 as cv
+
+        img = cv.GaussianBlur(
+            rng.integers(0, 255, size=(48, 64)).astype(np.uint8), (0, 0), 2.0
+        )
+        ok, enc = cv.imencode(".jpg", img, [cv.IMWRITE_JPEG_QUALITY, 95])
+        assert ok
+        stream = enc.tobytes()
+        golden = cv.imdecode(np.frombuffer(stream, np.uint8), cv.IMREAD_GRAYSCALE)
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        extra = [
+            entry(513, 4, 1, struct.pack("<I", 8)),  # stream sits at data_off=8
+            entry(514, 4, 1, struct.pack("<I", len(stream))),
+        ]
+        p = tmp_path / "oldj.tif"
+        p.write_bytes(self._tiff_single_strip(stream, img.shape, 6, extra_entries=extra))
+        with TiffFile(str(p)) as tf:
+            assert tf.pages[0].compression == 6
+            assert tf.pages[0].jpeg_if_offset == 8
+            np.testing.assert_array_equal(tf.read_page(0), golden)
+
+    def test_old_style_jpeg_without_jif_raises(self, tmp_path, rng):
+        img_bytes = b"\x00" * 64
+        p = tmp_path / "oldj_bad.tif"
+        p.write_bytes(self._tiff_single_strip(img_bytes, (8, 8), 6))
+        with TiffFile(str(p)) as tf:
+            with pytest.raises(ValueError, match="JPEGInterchangeFormat"):
+                tf.read_page(0)
+
 
 class TestOmeParsing:
     def test_pixels_info(self):
