@@ -150,6 +150,17 @@ def _sig_handler(signum, frame):  # emit best snapshot before dying
     sys.exit(128 + signum)
 
 
+def _flow_knobs():
+    """Active flow-path env knobs, embedded in config entries so A/B sweep
+    outputs are self-describing."""
+    names = ("MICROALIGNER_TPU_FLOW_DENSE", "MICROALIGNER_TPU_FLOW_TILE_BATCH",
+             "MICROALIGNER_TPU_FLOW_STATIC_SPLIT", "MICROALIGNER_TPU_R_BF16",
+             "MICROALIGNER_TPU_FLOW_BAND_ROWS")
+    knobs = {k[len("MICROALIGNER_TPU_"):]: os.environ[k]
+             for k in names if os.environ.get(k)}
+    return {"knobs": knobs} if knobs else {}
+
+
 def _make_pair(h, w, seed=0):
     import cv2 as cv
 
@@ -165,7 +176,11 @@ def _make_pair(h, w, seed=0):
 
 
 def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_steps=4):
-    """Fused tiled Farneback register+warp step, steady-state (K chained)."""
+    """Fused tiled Farneback register+warp step, steady-state (K chained).
+
+    MICROALIGNER_TPU_FLOW_DENSE=1 swaps the mesh-sharded square-window step
+    for the full-width row-band path (flow_calc.calc_flow_and_warp_dense_
+    banded) so the r4 sweep can A/B the two on this config as well."""
     import jax
     import jax.numpy as jnp
 
@@ -176,9 +191,19 @@ def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_ste
     win_size = overlap - (1 - overlap % 2)
     ref, mov = _make_pair(size, size)
     grid = TileGrid.for_image(ref.shape, tile_size, overlap)
-    step = make_sharded_register_step(
-        get_tile_mesh(), grid, win_size=win_size, num_iter=num_iter, with_hist=False
-    )
+    dense = os.environ.get("MICROALIGNER_TPU_FLOW_DENSE", "0") == "1"
+    if dense:
+        from microaligner_tpu.optflow.flow_calc import calc_flow_and_warp_dense_banded
+
+        def step(r, m):
+            flow, warped = calc_flow_and_warp_dense_banded(
+                r, m, m, grid, win_size, num_iter, "float32"
+            )
+            return warped, flow
+    else:
+        step = make_sharded_register_step(
+            get_tile_mesh(), grid, win_size=win_size, num_iter=num_iter, with_hist=False
+        )
     refj = jnp.asarray(ref, jnp.float32)
     movj = jnp.asarray(mov, jnp.float32)
 
@@ -207,6 +232,8 @@ def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_ste
         "tpu_s": round(tpu_amortized, 4),
         "cpu_serial_s": serial,
         "image": f"{size}x{size}",
+        "path": "dense_banded" if dense else "tiled_sharded",
+        **_flow_knobs(),
     }
 
 
@@ -547,6 +574,7 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
         "cpu_serial_s_recorded": serial_est,
         "image": f"{size}x{size}",
         "note": "cpu cost extrapolated from 4 tiles (441 serial would be ~7 min)",
+        **_flow_knobs(),
     }
 
 

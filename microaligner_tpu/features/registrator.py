@@ -514,7 +514,11 @@ class FeatureRegistrator:
 
         if not ref_features.is_valid():
             # no usable reference features: matching yields identity and the
-            # gate rejects every iteration (reference behavior)
+            # gate rejects every iteration (reference behavior).  Log the
+            # degenerate cause explicitly — the traced path below masks the
+            # same condition silently (n_good >= 3 inside _level_align_body),
+            # so this is the one place the observable log can say why.
+            log("    No usable reference features (< 3 valid) — identity transform")
             for i in range(self.num_iterations):
                 log("    Iteration", i + 1, "/", self.num_iterations)
                 log("    Worse alignment than before")

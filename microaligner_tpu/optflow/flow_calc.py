@@ -26,7 +26,13 @@ from microaligner_tpu.tiles import (
     tile_origins,
 )
 
-__all__ = ["TileFlowCalc", "calc_flow_tiled", "calc_flow_and_warp_tiled"]
+__all__ = [
+    "TileFlowCalc",
+    "calc_flow_tiled",
+    "calc_flow_and_warp_tiled",
+    "calc_flow_dense_banded",
+    "calc_flow_and_warp_dense_banded",
+]
 
 
 _TILE_BATCH = 16  # bounds live tile working set (R0/R1 are 5-channel f32)
@@ -48,6 +54,33 @@ def _static_split() -> bool:
     return os.environ.get("MICROALIGNER_TPU_FLOW_STATIC_SPLIT", "0") == "1"
 
 
+def _dense_banded() -> bool:
+    """MICROALIGNER_TPU_FLOW_DENSE=1: compute the tiled flow as full-width
+    row BANDS instead of halo windows.  Square 1200^2 windows re-compute 44%
+    of their pixels as halo (1.44 Mpix window per 1 Mpix interior); a
+    full-width band re-computes only its two halo row-strips (~9% at the
+    default band height), and band extraction is a rows-only slice (lane-dim
+    start 0) instead of 441 unaligned 2-D window copies.  Flow values differ
+    from the per-tile computation only near former tile seams — where the
+    band sees MORE real context than the reference's zero-padded halos, i.e.
+    equal-or-better flow; E2E accuracy stays bounded by the warp-MSE bench
+    gate.  Off by default until the on-hardware A/B (r4_hw_sweep.sh) decides;
+    tiled remains the strict-parity path."""
+    return os.environ.get("MICROALIGNER_TPU_FLOW_DENSE", "0") == "1"
+
+
+def _band_rows(grid: TileGrid) -> int:
+    """Band interior height: bounded working set (~45 Mpix of band pixels,
+    matching the tiled path's 16x1200^2 chunk footprint), multiple-of-8
+    sublane alignment, whole image when it already fits."""
+    env = os.environ.get("MICROALIGNER_TPU_FLOW_BAND_ROWS")
+    if env:
+        return max(8, int(env))
+    w = grid.width + 2 * grid.overlap
+    rows = int(45e6 // max(w, 1)) // 8 * 8
+    return max(512, min(rows, grid.height))
+
+
 def calc_flow_tiled(
     ref_img: jax.Array,
     mov_img: jax.Array,
@@ -64,6 +97,8 @@ def calc_flow_tiled(
     otherwise need ~23 GB.  Tiles keep the input dtype (u8 for DoG images)
     until inside the kernel.
     """
+    if _dense_banded():
+        return calc_flow_dense_banded(ref_img, mov_img, grid, win_size, num_iter)
     return _calc_flow_tiled(
         ref_img, mov_img, grid, win_size, num_iter, current_tile_mesh(),
         _tile_batch(), _static_split(),
@@ -146,6 +181,10 @@ def calc_flow_and_warp_tiled(
     on the DoG pair (optflow_registrator.py:128-133), hence the separate
     ``warp_src``; pass ``mov_img`` for the plain register+warp step.
     """
+    if _dense_banded():
+        return calc_flow_and_warp_dense_banded(
+            ref_img, mov_img, warp_src, grid, win_size, num_iter, out_dtype_name
+        )
     return _calc_flow_and_warp_tiled(
         ref_img, mov_img, warp_src, grid, win_size, num_iter,
         out_dtype_name, current_tile_mesh(), _tile_batch(), _static_split(),
@@ -222,6 +261,124 @@ def _calc_flow_and_warp_tiled(
         [stitch_interiors(fx, grid), stitch_interiors(fy, grid)], axis=-1
     )
     return flow, stitch_interiors(warped, grid)
+
+
+def calc_flow_dense_banded(
+    ref_img: jax.Array,
+    mov_img: jax.Array,
+    grid: TileGrid,
+    win_size: int,
+    num_iter: int,
+) -> jax.Array:
+    """Full-width row-band Farneback: ``(H, W)`` pair -> ``(H, W, 2)`` flow.
+
+    Same boundary convention as the tiled path (``overlap`` zeros around the
+    image); each band is the full image width plus the x halo, so the only
+    re-computed pixels are the two halo row-strips.  Bands run sequentially
+    (bounded working set); extraction is a rows-only ``dynamic_slice`` whose
+    lane-dim start is 0.  See ``_dense_banded`` for the semantics note.
+    """
+    return _calc_flow_dense_banded(
+        ref_img, mov_img, grid, win_size, num_iter, _band_rows(grid)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "win_size", "num_iter", "band_rows")
+)
+def _calc_flow_dense_banded(ref_img, mov_img, grid, win_size, num_iter, band_rows):
+    fx, fy = _dense_banded_core(
+        ref_img, mov_img, None, grid, win_size, num_iter, band_rows
+    )[:2]
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def calc_flow_and_warp_dense_banded(
+    ref_img: jax.Array,
+    mov_img: jax.Array,
+    warp_src: jax.Array,
+    grid: TileGrid,
+    win_size: int,
+    num_iter: int,
+    out_dtype_name: str,
+) -> tuple[jax.Array, jax.Array]:
+    """``calc_flow_dense_banded`` fused with the post-flow warp of
+    ``warp_src`` (same construction as ``calc_flow_and_warp_tiled``: the band
+    halo's flow is zeroed, the halo'd band source is sampled, interiors are
+    kept)."""
+    return _calc_flow_and_warp_dense_banded(
+        ref_img, mov_img, warp_src, grid, win_size, num_iter,
+        out_dtype_name, _band_rows(grid),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "win_size", "num_iter", "out_dtype_name", "band_rows"),
+)
+def _calc_flow_and_warp_dense_banded(
+    ref_img, mov_img, warp_src, grid, win_size, num_iter, out_dtype_name, band_rows
+):
+    fx, fy, warped = _dense_banded_core(
+        ref_img, mov_img, warp_src, grid, win_size, num_iter, band_rows,
+        out_dtype_name=out_dtype_name,
+    )
+    return jnp.stack([fx, fy], axis=-1), warped
+
+
+def _dense_banded_core(
+    ref_img, mov_img, warp_src, grid, win_size, num_iter, band_rows,
+    out_dtype_name=None,
+):
+    from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
+
+    h, w, o = grid.height, grid.width, grid.overlap
+    nb = -(-h // band_rows)
+    slab_h = band_rows + 2 * o
+    slab_w = w + 2 * o
+
+    def slab(img):
+        # overlap zeros on all sides + bottom padding to a whole band count
+        # (the same constant-border convention as pad_canvas)
+        return jnp.pad(
+            img, ((o, nb * band_rows - h + o), (o, o)), mode="constant"
+        )
+
+    canvas_r = slab(ref_img)
+    canvas_m = slab(mov_img)
+    canvas_w = None if warp_src is None else slab(warp_src)
+
+    # band-halo flow is zeroed for the fused warp, exactly like the tiled
+    # run_core's interior mask (borders blend identically to _warp_tiled_jit)
+    interior = jnp.zeros((slab_h, slab_w), jnp.float32)
+    interior = interior.at[o : o + band_rows, o : o + w].set(1.0)
+    out_dt = None if out_dtype_name is None else jnp.dtype(out_dtype_name)
+
+    def finish(x):
+        if jnp.issubdtype(out_dt, jnp.integer):
+            info = jnp.iinfo(out_dt)
+            x = jnp.clip(jnp.round(x), info.min, info.max)
+        return x.astype(out_dt)
+
+    def band(i):
+        row0 = i * band_rows
+        br = jax.lax.dynamic_slice(canvas_r, (row0, 0), (slab_h, slab_w))
+        bm = jax.lax.dynamic_slice(canvas_m, (row0, 0), (slab_h, slab_w))
+        fx, fy = _farneback_core_parts(
+            bm[None].astype(jnp.float32), br[None].astype(jnp.float32),
+            win_size, num_iter, 1, 1.7,
+        )
+        sl = (0, slice(o, o + band_rows), slice(o, o + w))
+        if warp_src is None:
+            return fx[sl], fy[sl]
+        bw = jax.lax.dynamic_slice(canvas_w, (row0, 0), (slab_h, slab_w))
+        warped = warp_with_flow_parts_batched(
+            bw[None].astype(jnp.float32), fx * interior, fy * interior
+        )
+        return fx[sl], fy[sl], finish(warped[sl])
+
+    outs = jax.lax.map(band, jnp.arange(nb))  # sequential bands, bounded HBM
+    return tuple(x.reshape((nb * band_rows,) + x.shape[2:])[:h] for x in outs)
 
 
 class TileFlowCalc:

@@ -226,6 +226,25 @@ def main():
         args.reps,
     )
 
+    # -- 4096^2 anchor: the SAME code path at config-2 scale ------------------
+    # config 2's bench number comes from make_sharded_register_step (static
+    # split, no chunking); this anchor runs calc_flow_tiled itself at 4096 so
+    # the per-window-pixel rate comparison is apples-to-apples.
+    if size != 4096:
+        a_grid = TileGrid.for_image((4096, 4096), args.tile, args.overlap)
+        a_ref, a_mov = make_pair(4096)
+        a_refj = jax.device_put(jnp.asarray(a_ref))
+        a_movj = jax.device_put(jnp.asarray(a_mov))
+        jax.block_until_ready((a_refj, a_movj))
+        results["anchor4096"] = timed(
+            "calc_flow_tiled @4096 (same path, default batch)",
+            lambda: sync(calc_flow_tiled(a_refj, a_movj, a_grid, win_size, args.iters)),
+            args.reps,
+        )
+        a_mpix = a_grid.num_tiles * win_h * win_w / 1e6
+        print(f"  anchor window throughput @4096:    "
+              f"{a_mpix / results['anchor4096']:8.0f} Mpix/s")
+
     # -- derived numbers -----------------------------------------------------
     best_flow = min(v for k, v in results.items() if k.startswith("flow_b"))
     print("\nderived:")

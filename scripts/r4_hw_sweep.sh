@@ -40,6 +40,13 @@ run() { # run <name> <timeout_s> <cmd...>
   run ab_static_split 1200 env MICROALIGNER_TPU_FLOW_STATIC_SPLIT=1 python bench.py --only 5
   run ab_batch8  1200 env MICROALIGNER_TPU_FLOW_TILE_BATCH=8  python bench.py --only 5
   run ab_batch32 1200 env MICROALIGNER_TPU_FLOW_TILE_BATCH=32 python bench.py --only 5
+  # bf16 R0/R1 SPEED effect (fresh process: the knob is trace-time-read);
+  # accuracy is judged by the rbf16 parity stage above
+  run ab_rbf16_speed 1500 env MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,5
+  # full-width row-band dense flow (no square-window halo waste)
+  run ab_dense 1500 env MICROALIGNER_TPU_FLOW_DENSE=1 python bench.py --only 2,5
+  # the two candidates combined — the expected production configuration
+  run ab_dense_rbf16 1500 env MICROALIGNER_TPU_FLOW_DENSE=1 MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,5
 }
 
 echo "all requested stages done; outputs in $OUT"

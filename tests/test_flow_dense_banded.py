@@ -1,0 +1,104 @@
+"""Banded dense Farneback (full-width row bands) vs whole-image and tiled.
+
+The banded path exists to remove the square-window halo waste at 20k scale
+(flow_calc._dense_banded); these tests pin its semantics on CPU:
+
+* one band with no halo IS the whole-image farneback (bit-exact);
+* with a halo that covers the receptive field, band seams are invisible;
+* the fused flow+warp variant returns the same flow plus the interior-masked
+  warp (the tiled run_core construction);
+* the env gate routes the public tiled entry points to the banded path;
+* banded and tiled flows agree away from former tile seams.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microaligner_tpu.optflow.farneback import farneback
+from microaligner_tpu.optflow.flow_calc import (
+    _calc_flow_and_warp_dense_banded,
+    _calc_flow_dense_banded,
+    calc_flow_dense_banded,
+    calc_flow_tiled,
+)
+from microaligner_tpu.tiles import TileGrid
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(11)
+    try:
+        import cv2 as cv
+
+        base = cv.GaussianBlur(rng.random((144, 120), dtype=np.float32), (0, 0), 3.0)
+        base = cv.normalize(base, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+        ys, xs = np.mgrid[0:144, 0:120].astype(np.float32)
+        mov = cv.remap(base, xs + 1.2, ys - 0.7, cv.INTER_LINEAR)
+    except ImportError:  # pragma: no cover
+        base = (rng.random((144, 120)) * 255).astype(np.uint8)
+        mov = np.roll(base, (1, -1), axis=(0, 1))
+    return jnp.asarray(base), jnp.asarray(mov)
+
+
+def test_single_band_no_halo_equals_whole_image(pair):
+    ref, mov = pair
+    grid = TileGrid.for_image(ref.shape, 64, 0)
+    flow_b = _calc_flow_dense_banded(ref, mov, grid, 19, 2, band_rows=ref.shape[0])
+    flow_w = farneback(mov.astype(jnp.float32), ref.astype(jnp.float32),
+                       win_size=19, num_iter=2)
+    np.testing.assert_allclose(np.asarray(flow_b), np.asarray(flow_w), atol=1e-5)
+
+
+def test_band_seams_invisible_when_halo_covers_receptive_field(pair):
+    ref, mov = pair
+    # num_iter=1 receptive field ~ win/2 + poly radius ~= 15 < overlap 20
+    grid = TileGrid.for_image(ref.shape, 64, 20)
+    one = _calc_flow_dense_banded(ref, mov, grid, 19, 1, band_rows=ref.shape[0])
+    many = _calc_flow_dense_banded(ref, mov, grid, 19, 1, band_rows=48)
+    np.testing.assert_allclose(np.asarray(many), np.asarray(one), atol=1e-3)
+
+
+def test_fused_warp_matches_flow_then_manual_warp(pair):
+    from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
+
+    ref, mov = pair
+    grid = TileGrid.for_image(ref.shape, 64, 20)
+    h, w, o = grid.height, grid.width, grid.overlap
+    flow, warped = _calc_flow_and_warp_dense_banded(
+        ref, mov, mov, grid, 19, 2, "uint8", band_rows=h
+    )
+    flow2 = _calc_flow_dense_banded(ref, mov, grid, 19, 2, band_rows=h)
+    np.testing.assert_array_equal(np.asarray(flow), np.asarray(flow2))
+
+    # reproduce the fused warp for the single-band case: halo'd source,
+    # interior-masked flow, interior kept
+    slab = jnp.pad(mov, ((o, o), (o, o))).astype(jnp.float32)
+    fx = jnp.pad(flow[..., 0], ((o, o), (o, o)))
+    fy = jnp.pad(flow[..., 1], ((o, o), (o, o)))
+    exp = warp_with_flow_parts_batched(slab[None], fx[None], fy[None])[0]
+    exp = jnp.clip(jnp.round(exp[o : o + h, o : o + w]), 0, 255).astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(warped), np.asarray(exp))
+
+
+def test_env_gate_routes_tiled_entry(pair, monkeypatch):
+    ref, mov = pair
+    grid = TileGrid.for_image(ref.shape, 64, 20)
+    monkeypatch.setenv("MICROALIGNER_TPU_FLOW_DENSE", "1")
+    monkeypatch.setenv("MICROALIGNER_TPU_FLOW_BAND_ROWS", "48")
+    via_gate = calc_flow_tiled(ref, mov, grid, 19, 2)
+    direct = calc_flow_dense_banded(ref, mov, grid, 19, 2)
+    np.testing.assert_array_equal(np.asarray(via_gate), np.asarray(direct))
+
+
+def test_banded_agrees_with_tiled_away_from_seams(pair):
+    ref, mov = pair
+    grid = TileGrid.for_image(ref.shape, 64, 20)
+    banded = np.asarray(_calc_flow_dense_banded(ref, mov, grid, 19, 2,
+                                                band_rows=ref.shape[0]))
+    tiled = np.asarray(calc_flow_tiled(ref, mov, grid, 19, 2))
+    # identical physics, different context truncation near tile seams: the
+    # two must agree closely overall (smooth synthetic displacement)
+    diff = np.abs(banded - tiled)
+    assert diff.mean() < 0.05, diff.mean()
