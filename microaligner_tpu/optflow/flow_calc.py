@@ -279,16 +279,19 @@ def calc_flow_dense_banded(
     lane-dim start is 0.  See ``_dense_banded`` for the semantics note.
     """
     return _calc_flow_dense_banded(
-        ref_img, mov_img, grid, win_size, num_iter, _band_rows(grid)
+        ref_img, mov_img, grid, win_size, num_iter, _band_rows(grid),
+        current_tile_mesh(),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "win_size", "num_iter", "band_rows")
+    jax.jit, static_argnames=("grid", "win_size", "num_iter", "band_rows", "mesh")
 )
-def _calc_flow_dense_banded(ref_img, mov_img, grid, win_size, num_iter, band_rows):
+def _calc_flow_dense_banded(
+    ref_img, mov_img, grid, win_size, num_iter, band_rows, mesh=None
+):
     fx, fy = _dense_banded_core(
-        ref_img, mov_img, None, grid, win_size, num_iter, band_rows
+        ref_img, mov_img, None, grid, win_size, num_iter, band_rows, mesh
     )[:2]
     return jnp.stack([fx, fy], axis=-1)
 
@@ -308,26 +311,29 @@ def calc_flow_and_warp_dense_banded(
     kept)."""
     return _calc_flow_and_warp_dense_banded(
         ref_img, mov_img, warp_src, grid, win_size, num_iter,
-        out_dtype_name, _band_rows(grid),
+        out_dtype_name, _band_rows(grid), current_tile_mesh(),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "win_size", "num_iter", "out_dtype_name", "band_rows"),
+    static_argnames=(
+        "grid", "win_size", "num_iter", "out_dtype_name", "band_rows", "mesh",
+    ),
 )
 def _calc_flow_and_warp_dense_banded(
-    ref_img, mov_img, warp_src, grid, win_size, num_iter, out_dtype_name, band_rows
+    ref_img, mov_img, warp_src, grid, win_size, num_iter, out_dtype_name,
+    band_rows, mesh=None,
 ):
     fx, fy, warped = _dense_banded_core(
-        ref_img, mov_img, warp_src, grid, win_size, num_iter, band_rows,
+        ref_img, mov_img, warp_src, grid, win_size, num_iter, band_rows, mesh,
         out_dtype_name=out_dtype_name,
     )
     return jnp.stack([fx, fy], axis=-1), warped
 
 
 def _dense_banded_core(
-    ref_img, mov_img, warp_src, grid, win_size, num_iter, band_rows,
+    ref_img, mov_img, warp_src, grid, win_size, num_iter, band_rows, mesh,
     out_dtype_name=None,
 ):
     from microaligner_tpu.ops.warp import warp_with_flow_parts_batched
@@ -344,9 +350,9 @@ def _dense_banded_core(
             img, ((o, nb * band_rows - h + o), (o, o)), mode="constant"
         )
 
-    canvas_r = slab(ref_img)
-    canvas_m = slab(mov_img)
-    canvas_w = None if warp_src is None else slab(warp_src)
+    canvases = [slab(ref_img), slab(mov_img)]
+    if warp_src is not None:
+        canvases.append(slab(warp_src))
 
     # band-halo flow is zeroed for the fused warp, exactly like the tiled
     # run_core's interior mask (borders blend identically to _warp_tiled_jit)
@@ -360,24 +366,29 @@ def _dense_banded_core(
             x = jnp.clip(jnp.round(x), info.min, info.max)
         return x.astype(out_dt)
 
-    def band(i):
+    def band(i, cr, cm, *cw):
         row0 = i * band_rows
-        br = jax.lax.dynamic_slice(canvas_r, (row0, 0), (slab_h, slab_w))
-        bm = jax.lax.dynamic_slice(canvas_m, (row0, 0), (slab_h, slab_w))
+        br = jax.lax.dynamic_slice(cr, (row0, 0), (slab_h, slab_w))
+        bm = jax.lax.dynamic_slice(cm, (row0, 0), (slab_h, slab_w))
         fx, fy = _farneback_core_parts(
             bm[None].astype(jnp.float32), br[None].astype(jnp.float32),
             win_size, num_iter, 1, 1.7,
         )
         sl = (0, slice(o, o + band_rows), slice(o, o + w))
-        if warp_src is None:
+        if not cw:
             return fx[sl], fy[sl]
-        bw = jax.lax.dynamic_slice(canvas_w, (row0, 0), (slab_h, slab_w))
+        bw = jax.lax.dynamic_slice(cw[0], (row0, 0), (slab_h, slab_w))
         warped = warp_with_flow_parts_batched(
             bw[None].astype(jnp.float32), fx * interior, fy * interior
         )
         return fx[sl], fy[sl], finish(warped[sl])
 
-    outs = jax.lax.map(band, jnp.arange(nb))  # sequential bands, bounded HBM
+    # band axis sharded over the worker mesh (same DP axis as the tile path;
+    # one device = a plain sequential lax.map with bounded HBM)
+    outs = tile_map(
+        band, (jnp.arange(nb),), batch=1, mesh=mesh, unbatched=True,
+        broadcast=tuple(canvases),
+    )
     return tuple(x.reshape((nb * band_rows,) + x.shape[2:])[:h] for x in outs)
 
 

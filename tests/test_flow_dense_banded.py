@@ -92,6 +92,19 @@ def test_env_gate_routes_tiled_entry(pair, monkeypatch):
     np.testing.assert_array_equal(np.asarray(via_gate), np.asarray(direct))
 
 
+def test_band_axis_sharded_equals_single_device(pair):
+    from microaligner_tpu.parallel.tile_runner import current_tile_mesh
+
+    ref, mov = pair
+    grid = TileGrid.for_image(ref.shape, 64, 20)
+    mesh = current_tile_mesh()  # 8 virtual CPU devices under conftest
+    single = _calc_flow_dense_banded(ref, mov, grid, 19, 2, band_rows=48, mesh=None)
+    sharded = _calc_flow_dense_banded(ref, mov, grid, 19, 2, band_rows=48, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-6
+    )
+
+
 def test_banded_agrees_with_tiled_away_from_seams(pair):
     ref, mov = pair
     grid = TileGrid.for_image(ref.shape, 64, 20)
