@@ -37,7 +37,63 @@ _SHIFT_MARGIN = 128  # canvas slack for dc-shifted compose windows (px)
 
 
 def _warp_tiled_impl(image: jax.Array, flow: jax.Array, grid: TileGrid, out_dtype_name: str) -> jax.Array:
+    from microaligner_tpu.optflow.flow_calc import _band_rows, _dense_banded
+
+    if _dense_banded():
+        return _warp_banded_jit(
+            image, flow, grid, out_dtype_name, _band_rows(grid),
+            current_tile_mesh(),
+        )
     return _warp_tiled_jit(image, flow, grid, out_dtype_name, current_tile_mesh())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "out_dtype_name", "band_rows", "mesh")
+)
+def _warp_banded_jit(image, flow, grid, out_dtype_name, band_rows, mesh=None):
+    """Full-width row-band warp (the MICROALIGNER_TPU_FLOW_DENSE apply path).
+
+    Interior results are identical to ``_warp_tiled_jit`` whenever flow
+    displacements stay within the halo (the shared contract): each output
+    pixel samples the same absolute source pixel, present in both the tile's
+    halo window and the band slab.  The band slab spans the full width, so
+    the 44% halo-window re-read and the (N, tile, tile) -> canvas transpose
+    stitch disappear; extraction is a rows-only slice with lane start 0.
+    """
+    out_dt = jnp.dtype(out_dtype_name)
+    o = grid.overlap
+    h, w = grid.height, grid.width
+    nb = -(-h // band_rows)
+    slab_h = band_rows + 2 * o
+    slab_w = w + 2 * o
+
+    def finish(x):
+        if jnp.issubdtype(out_dt, jnp.integer):
+            info = jnp.iinfo(out_dt)
+            x = jnp.clip(jnp.round(x), info.min, info.max)
+        return x.astype(out_dt)
+
+    canvas = jnp.pad(image, ((o, nb * band_rows - h + o), (o, o)), mode="constant")
+    # flow interiors padded to whole bands (rows) — channels separate
+    fpad = ((0, nb * band_rows - h), (0, 0))
+    fx_c = jnp.pad(flow[..., 0], fpad)
+    fy_c = jnp.pad(flow[..., 1], fpad)
+    zo = ((o, o), (o, o))
+
+    def band(i, cv, fxc, fyc):
+        row0 = i * band_rows
+        src = jax.lax.dynamic_slice(cv, (row0, 0), (slab_h, slab_w))
+        fx = jax.lax.dynamic_slice(fxc, (row0, 0), (band_rows, w))
+        fy = jax.lax.dynamic_slice(fyc, (row0, 0), (band_rows, w))
+        fw = jnp.stack([jnp.pad(fx, zo), jnp.pad(fy, zo)], axis=-1)
+        out = warp_with_flow_batched(src[None].astype(jnp.float32), fw[None])
+        return finish(out[0, o : o + band_rows, o : o + w])
+
+    warped = tile_map(
+        band, (jnp.arange(nb),), batch=1, mesh=mesh, unbatched=True,
+        broadcast=(canvas, fx_c, fy_c),
+    )
+    return warped.reshape(nb * band_rows, w)[:h]
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "out_dtype_name", "mesh"))

@@ -105,6 +105,24 @@ def test_band_axis_sharded_equals_single_device(pair):
     )
 
 
+def test_banded_warp_equals_tiled_warp(pair):
+    """For displacements within the halo the banded apply-phase warp is
+    bit-identical to the tiled warp (same absolute source samples)."""
+    from microaligner_tpu.optflow.warper import _warp_banded_jit, _warp_tiled_jit
+
+    ref, mov = pair
+    grid = TileGrid.for_image(ref.shape, 64, 20)
+    rng = np.random.default_rng(3)
+    ys, xs = np.mgrid[0 : ref.shape[0], 0 : ref.shape[1]].astype(np.float32)
+    flow = jnp.asarray(
+        np.stack([3.0 * np.sin(ys / 30), 2.0 * np.cos(xs / 25)], axis=-1)
+    )
+    img = jnp.asarray((rng.random(ref.shape) * 65535).astype(np.uint16))
+    tiled = _warp_tiled_jit(img, flow, grid, "uint16", None)
+    banded = _warp_banded_jit(img, flow, grid, "uint16", band_rows=48, mesh=None)
+    np.testing.assert_array_equal(np.asarray(banded), np.asarray(tiled))
+
+
 def test_banded_agrees_with_tiled_away_from_seams(pair):
     ref, mov = pair
     grid = TileGrid.for_image(ref.shape, 64, 20)
