@@ -123,6 +123,41 @@ def test_banded_warp_equals_tiled_warp(pair):
     np.testing.assert_array_equal(np.asarray(banded), np.asarray(tiled))
 
 
+def test_engine_e2e_dense_gate(pair, monkeypatch):
+    """OptFlowRegistrator with MICROALIGNER_TPU_FLOW_DENSE=1 registers the
+    pair as well as the tiled default (warp-back MSE equivalence)."""
+    from microaligner_tpu.optflow import OptFlowRegistrator, Warper
+
+    ref, mov = pair
+
+    def run():
+        reg = OptFlowRegistrator()
+        reg.num_pyr_lvl = 1
+        reg.num_iterations = 2
+        reg.tile_size = 64
+        reg.overlap = 20
+        reg.use_full_res_img = True
+        reg.use_dog = False
+        reg.ref_img = np.asarray(ref)
+        reg.mov_img = np.asarray(mov)
+        flow = reg.register()
+        w = Warper()
+        w.image = np.asarray(mov)
+        w.flow = flow
+        back = w.warp()
+        inner = (slice(24, -24), slice(24, -24))
+        return float(np.mean(
+            (back[inner].astype(np.float32) - np.asarray(ref)[inner]) ** 2
+        )) / 255.0**2
+
+    mse_tiled = run()
+    monkeypatch.setenv("MICROALIGNER_TPU_FLOW_DENSE", "1")
+    monkeypatch.setenv("MICROALIGNER_TPU_FLOW_BAND_ROWS", "48")
+    mse_dense = run()
+    assert mse_tiled < 1e-3 and mse_dense < 1e-3, (mse_tiled, mse_dense)
+    assert mse_dense < 2 * mse_tiled + 1e-6, (mse_tiled, mse_dense)
+
+
 def test_banded_agrees_with_tiled_away_from_seams(pair):
     ref, mov = pair
     grid = TileGrid.for_image(ref.shape, 64, 20)
