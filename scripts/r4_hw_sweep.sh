@@ -44,9 +44,9 @@ run() { # run <name> <timeout_s> <cmd...>
   # accuracy is judged by the rbf16 parity stage above
   run ab_rbf16_speed 1500 env MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,5
   # full-width row-band dense flow (no square-window halo waste)
-  run ab_dense 1500 env MICROALIGNER_TPU_FLOW_DENSE=1 python bench.py --only 2,4,5
+  run ab_dense 1500 env MICROALIGNER_TPU_FLOW_DENSE=1 python bench.py --only 2,3,4,5
   # the two candidates combined — the expected production configuration
-  run ab_dense_rbf16 1500 env MICROALIGNER_TPU_FLOW_DENSE=1 MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,4,5
+  run ab_dense_rbf16 1500 env MICROALIGNER_TPU_FLOW_DENSE=1 MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,3,4,5
 }
 
 echo "all requested stages done; outputs in $OUT"
