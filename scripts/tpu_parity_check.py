@@ -38,6 +38,11 @@ _jax.config.update(
     ),
 )
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if "--cpu" in sys.argv:
+    # CPU smoke mode: the JAX_PLATFORMS env var is IGNORED by this jax build
+    # (axon stays pinned and device init hangs when the tunnel is down); the
+    # config API is the only reliable platform override (see tests/conftest).
+    _jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
@@ -197,6 +202,80 @@ def _feature() -> int:
         return 0 if ok else 1
 
 
+def _dense() -> int:
+    """On-hardware parity of the banded dense flow path (round 4).
+
+    CPU tests pin its math; this validates the TPU lowering at full-width
+    band geometry (W + 2*overlap lanes — the regime where Mosaic lane
+    hazards would bite) and the band-seam behavior on the real chip:
+
+    a) single band vs cv2 Farneback on the same zero-padded canvas
+       (exact-semantics golden, strict bars);
+    b) multi-band vs single band (seam deviations bounded);
+    c) fused band warp vs cv2.remap with the banded flow.
+    """
+    import cv2 as cv
+    import jax
+    import jax.numpy as jnp
+
+    from microaligner_tpu.optflow.flow_calc import (
+        _calc_flow_and_warp_dense_banded,
+        _calc_flow_dense_banded,
+    )
+    from microaligner_tpu.tiles import TileGrid
+
+    args = [a for a in sys.argv[1:] if a.isdigit()]
+    size = int(args[0]) if args else 2048
+    overlap, num_iter = (100, 3) if size >= 1024 else (20, 2)
+    win_size = overlap - (1 - overlap % 2)
+    band = 512 if size >= 1024 else max(64, size // 4)
+    rng = np.random.default_rng(0)
+    base = cv.GaussianBlur(rng.random((size, size), dtype=np.float32), (0, 0), 3.0)
+    base = cv.normalize(base, None, 0, 255, cv.NORM_MINMAX, cv.CV_8U)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    mov = cv.remap(base, xs + 2.0 * np.sin(ys / 50), ys + 1.5 * np.cos(xs / 45),
+                   cv.INTER_LINEAR)
+    grid = TileGrid.for_image(base.shape, 1000, overlap)
+    refj, movj = jnp.asarray(base), jnp.asarray(mov)
+
+    one = np.asarray(_calc_flow_dense_banded(
+        refj, movj, grid, win_size, num_iter, band_rows=size))
+
+    # (a) cv2 on the identical zero-padded canvas, interior cropped
+    o = overlap
+    pad_r = np.pad(base, o).astype(np.uint8)
+    pad_m = np.pad(mov, o).astype(np.uint8)
+    f_cv = cv.calcOpticalFlowFarneback(
+        pad_m, pad_r, None, 0.5, 0, win_size, num_iter, 1, 1.7,
+        cv.OPTFLOW_FARNEBACK_GAUSSIAN,
+    )[o : o + size, o : o + size]
+    fd = np.abs(one - f_cv)
+    print(f"(a) single band vs cv2: mean {fd.mean():.2e} px, max {fd.max():.3f} px")
+    ok_a = fd.mean() < 1e-3 and fd.max() < 0.05
+
+    # (b) multi-band seam deviations
+    many = np.asarray(_calc_flow_dense_banded(
+        refj, movj, grid, win_size, num_iter, band_rows=band))
+    bd = np.abs(many - one)
+    print(f"(b) multi-band vs single: mean {bd.mean():.2e} px, max {bd.max():.3f} px")
+    ok_b = bd.mean() < 2e-3 and bd.max() < 0.5
+
+    # (c) fused band warp vs cv2.remap with the banded flow
+    _, warped = _calc_flow_and_warp_dense_banded(
+        refj, movj, movj, grid, win_size, num_iter, "uint8", band_rows=band)
+    nf = -many.copy()
+    nf[..., 0] += np.arange(size)
+    nf[..., 1] += np.arange(size).reshape(-1, 1)
+    w_cv = cv.remap(mov.astype(np.float32), nf, None, cv.INTER_LINEAR)
+    mse = float(np.mean((np.asarray(warped).astype(np.float64) - w_cv) ** 2)) / 255.0**2
+    print(f"(c) fused band warp MSE (unit range): {mse:.2e}")
+    ok_c = mse < 1e-3
+
+    ok = ok_a and ok_b and ok_c
+    print("DENSE PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main() -> int:
     import cv2 as cv
     import jax
@@ -269,5 +348,7 @@ if __name__ == "__main__":
         sys.exit(_feature())
     elif "--sweep" in sys.argv:
         sys.exit(_sweep())
+    elif "--dense" in sys.argv:
+        sys.exit(_dense())
     else:
         sys.exit(main())
