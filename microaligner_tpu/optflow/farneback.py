@@ -344,11 +344,19 @@ def _update_matrices_zero_flow_cf(
 _PALLAS_MATRICES_OK: bool | None = None
 
 
-def _pallas_matrices_available(h: int, band: int) -> bool:
+def _pallas_matrices_available(h: int, band: int, w: int | None = None) -> bool:
     """Static (trace-time) gate for the fused Mosaic matrix-update kernel."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if h < max(16, 2 * band + 1):  # 16: row block must stay 8-sublane aligned
+        return False
+    # The kernel's blocks span the full lane axis, so its scoped-VMEM
+    # footprint is linear in W; past ~2.3k lanes it exceeds the 16 MB
+    # scoped-vmem stack limit and the TPU compiler aborts (observed
+    # 2026-08-18 at W=3072 for the sibling poly kernel, which has since been
+    # lane-blocked).  Until this kernel gets the same treatment, wide inputs
+    # (full-width dense row bands) take the XLA banded path.
+    if w is not None and w > 2288:
         return False
     global _PALLAS_MATRICES_OK
     if _PALLAS_MATRICES_OK is None:
@@ -426,7 +434,7 @@ def _update_matrices_batched_cf(R0, R1, fx, fy, win_size: int = 99):
     leaves the static band — so results always match cv2's update semantics.
     """
     n, c, h, w = R0.shape
-    use_pallas = _pallas_matrices_available(h, _BAND_PALLAS)
+    use_pallas = _pallas_matrices_available(h, _BAND_PALLAS, w)
     band = _BAND_PALLAS if use_pallas else _BAND
 
     dxi = jnp.floor(fx).astype(jnp.int32)

@@ -51,12 +51,12 @@ run() { # run <name> <timeout_s> <cmd...>
 
 # 3. A/B knobs on the tiled path (VERDICT item 8)
 [ "$STAGE" = all ] || [ "$STAGE" = knobs ] && {
-  run ab_static_split 1200 env MICROALIGNER_TPU_FLOW_STATIC_SPLIT=1 python bench.py --only 5
-  run ab_batch8  1200 env MICROALIGNER_TPU_FLOW_TILE_BATCH=8  python bench.py --only 5
-  run ab_batch32 1200 env MICROALIGNER_TPU_FLOW_TILE_BATCH=32 python bench.py --only 5
+  run ab_static_split 1200 env MICROALIGNER_BENCH_BUDGET_S=900 MICROALIGNER_TPU_FLOW_STATIC_SPLIT=1 python bench.py --only 5
+  run ab_batch8  1200 env MICROALIGNER_BENCH_BUDGET_S=900 MICROALIGNER_TPU_FLOW_TILE_BATCH=8  python bench.py --only 5
+  run ab_batch32 1200 env MICROALIGNER_BENCH_BUDGET_S=900 MICROALIGNER_TPU_FLOW_TILE_BATCH=32 python bench.py --only 5
   # bf16 R0/R1 SPEED effect (fresh process: the knob is trace-time-read);
   # accuracy is judged by the rbf16 parity stage below
-  run ab_rbf16_speed 1500 env MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,5
+  run ab_rbf16_speed 1500 env MICROALIGNER_BENCH_BUDGET_S=900 MICROALIGNER_TPU_R_BF16=1 python bench.py --only 2,5
 }
 
 # 4. attribute the 20k 231->109 Mpix/s drop
