@@ -363,10 +363,14 @@ def bench_chained(size=2048, with_mse=True):
         # register step; it is timed separately below as host_fetch_s
         return reg.register_device()
 
-    run_ours().block_until_ready()  # compile
+    # NOTE: jax.block_until_ready does NOT reliably wait on the tunneled
+    # axon backend (verified 2026-08-18: a fused launch "completed" in 0.5 ms
+    # by block_until_ready but took ~300 ms when forced by a scalar fetch);
+    # every timed region here ends with a tiny forced fetch instead.
+    float(jnp.sum(run_ours()[0, :8]))  # compile + settle
     t0 = time.perf_counter()
     flow_dev = run_ours()
-    flow_dev.block_until_ready()
+    float(jnp.sum(flow_dev[0, :8]))  # force execution; ~64 B fetch
     tpu_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     flow_ours = np.asarray(jax.device_get(flow_dev))

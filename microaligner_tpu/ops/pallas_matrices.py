@@ -37,6 +37,9 @@ __all__ = ["pallas_update_matrices"]
 
 _ROW_BLOCK = 16  # measured best on v5e: rb=32 is ~18% SLOWER (the dynamic
 # sublane roll over the doubled slab costs more than the halved block count)
+_COL_BLOCK = 1024  # lane blocking keeps scoped VMEM constant in image width
+# (full-width blocks exceeded the 16 MB scoped-vmem stack past ~2.3k lanes —
+# same failure mode as ops/pallas_poly.py, fixed 2026-08-18)
 # OpenCV's border down-weighting of the displacement equations, outer 5 px
 # (must match optflow/farneback.py::_BORDER_SCALE).
 _BORDER = 5
@@ -49,7 +52,9 @@ def _edge_scale(i, size):
     return lead * trail
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("band", "interpret", "out_dtype", "col_block")
+)
 def pallas_update_matrices(
     R0: jax.Array,
     R1: jax.Array,
@@ -58,12 +63,13 @@ def pallas_update_matrices(
     band: int = 4,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    col_block: int | None = None,
 ) -> jax.Array:
     """Fused banded-sample + matrix combine.
 
     ``R0``/``R1`` are (N, 5, H, W) polynomial expansions in f32 or bf16
-    (bf16 storage halves the stage's dominant HBM read — R1 is fetched twice
-    per row block via the two overlapping views; see
+    (bf16 storage halves the stage's dominant HBM read — R1 is fetched four
+    times per block via the overlapping neighbour views; see
     farneback._r_storage_dtype); loads are converted to f32 in VMEM, so all
     arithmetic is f32 either way.  ``fx``/``fy`` are (N, H, W) float32 flow
     components (integer/fractional split happens in kernel).  Returns
@@ -79,61 +85,69 @@ def pallas_update_matrices(
     rb = min(rb, h)
     if rb < 2 * band + 1:
         raise ValueError(f"pallas_update_matrices needs H >= {2 * band + 1}, got {h}")
+    cb = min(col_block or _COL_BLOCK, -(-w // 128) * 128)
     hpad = (-h) % rb
-    # rows: `pad` halo on top, `pad + hpad + rb` below so the (r+1) row-block
-    # view stays in bounds for the last output block.  Lanes: `pad` halo left,
-    # right halo rounded so the slab lane count is 128-aligned — the dynamic
-    # lane rotate in the kernel requires an aligned shape.
-    wal = -(-(w + 2 * pad) // 128) * 128
-    R1p = jnp.pad(R1, ((0, 0), (0, 0), (pad, pad + hpad + rb), (pad, wal - w - pad)))
-    if hpad:
-        zs = ((0, 0), (0, hpad), (0, 0))
+    wpad = (-w) % cb
+    hp, wp = h + hpad, w + wpad
+    # R1: `pad` halo on top/left; bottom/right slack so the (r+1)/(c+1)
+    # neighbour block views stay in bounds for the last output block.  The
+    # four overlapping views assemble each block's (rb+2pad, cb+2pad) sample
+    # window in VMEM — overlapping windows aren't expressible with one
+    # BlockSpec.  Lane blocks are 128-aligned by construction (cb % 128 == 0),
+    # which the dynamic sublane rotate in the kernel requires.
+    R1p = jnp.pad(
+        R1, ((0, 0), (0, 0), (pad, pad + hpad + rb), (pad, wp + cb - w - pad))
+    )
+    if hpad or wpad:
+        zs = ((0, 0), (0, hpad), (0, wpad))
         fx = jnp.pad(fx, zs)
         fy = jnp.pad(fy, zs)
-        R0 = jnp.pad(R0, ((0, 0), (0, 0), (0, hpad), (0, 0)))
-    hp = h + hpad
-    grid = (n, hp // rb)
+        R0 = jnp.pad(R0, ((0, 0), (0, 0), (0, hpad), (0, wpad)))
+    grid = (n, hp // rb, wp // cb)
 
-    field_spec = pl.BlockSpec((1, rb, w), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM)
-    r0_spec = pl.BlockSpec((1, 5, rb, w), lambda i, r: (i, 0, r, 0), memory_space=pltpu.VMEM)
-    # R1 passed twice with consecutive row-block views; their concat covers the
-    # rb + 2*pad rows each output block needs (overlapping windows aren't
-    # expressible with one BlockSpec)
-    r1_spec_a = pl.BlockSpec(
-        (1, 5, rb, wal), lambda i, r: (i, 0, r, 0), memory_space=pltpu.VMEM
+    field_spec = pl.BlockSpec(
+        (1, rb, cb), lambda i, r, s: (i, r, s), memory_space=pltpu.VMEM
     )
-    r1_spec_b = pl.BlockSpec(
-        (1, 5, rb, wal), lambda i, r: (i, 0, r + 1, 0), memory_space=pltpu.VMEM
+    r0_spec = pl.BlockSpec(
+        (1, 5, rb, cb), lambda i, r, s: (i, 0, r, s), memory_space=pltpu.VMEM
     )
+    r1_views = [
+        pl.BlockSpec((1, 5, rb, cb), lambda i, r, s: (i, 0, r, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 5, rb, cb), lambda i, r, s: (i, 0, r + 1, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 5, rb, cb), lambda i, r, s: (i, 0, r, s + 1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 5, rb, cb), lambda i, r, s: (i, 0, r + 1, s + 1), memory_space=pltpu.VMEM),
+    ]
     out = pl.pallas_call(
-        functools.partial(_kernel, band, rb, h, w),
-        out_shape=jax.ShapeDtypeStruct((n, 5, hp, w), out_dtype),
+        functools.partial(_kernel, band, rb, cb, h, w),
+        out_shape=jax.ShapeDtypeStruct((n, 5, hp, wp), out_dtype),
         grid=grid,
-        in_specs=[r0_spec, r1_spec_a, r1_spec_b] + [field_spec] * 2,
+        in_specs=[r0_spec] + r1_views + [field_spec] * 2,
         out_specs=r0_spec,
         scratch_shapes=[
-            pltpu.VMEM((5, 2 * rb, wal), jnp.float32),
-            pltpu.VMEM((5, rb, w), jnp.float32),
-            pltpu.VMEM((5, rb, w), jnp.float32),
+            pltpu.VMEM((5, 2 * rb, 2 * cb), jnp.float32),
+            pltpu.VMEM((5, rb, cb), jnp.float32),
+            pltpu.VMEM((5, rb, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(R0, R1p, R1p, fx, fy)
-    return out[:, :, :h, :]
+    )(R0, R1p, R1p, R1p, R1p, fx, fy)
+    return out[:, :, :h, :w]
 
 
 def _kernel(
-    band, rb, h, w, r0_ref, r1a_ref, r1b_ref, fx_ref, fy_ref,
-    out_ref, slab_ref, acc_ref, cd_ref,
+    band, rb, cb, h, w, r0_ref, r1a_ref, r1b_ref, r1c_ref, r1d_ref,
+    fx_ref, fy_ref, out_ref, slab_ref, acc_ref, cd_ref,
 ):
     pad = band + 1
-    r0 = r0_ref[0].astype(jnp.float32)  # (5, rb, w); f32 compute for bf16 storage
-    # stage the two consecutive row-block views into one VMEM slab so the
-    # row loop below can take dynamic rotates of it (Mosaic has no
-    # dynamic_slice on values, only on refs, and unaligned static sublane
-    # windows of a ref lower as slow copies — measured 3x worse than the
-    # rotate on v5e); the store converts bf16 loads to the f32 scratch
-    slab_ref[:, :rb, :] = r1a_ref[0].astype(jnp.float32)
-    slab_ref[:, rb:, :] = r1b_ref[0].astype(jnp.float32)
+    r0 = r0_ref[0].astype(jnp.float32)  # (5, rb, cb); f32 compute for bf16 storage
+    # stage the four neighbour block views into one VMEM slab so the row loop
+    # below can take dynamic rotates of it (Mosaic has no dynamic_slice on
+    # values, only on refs, and unaligned static sublane windows of a ref
+    # lower as slow copies — measured 3x worse than the rotate on v5e); the
+    # store converts bf16 loads to the f32 scratch
+    slab_ref[:, :rb, :cb] = r1a_ref[0].astype(jnp.float32)
+    slab_ref[:, rb:, :cb] = r1b_ref[0].astype(jnp.float32)
+    slab_ref[:, :rb, cb:] = r1c_ref[0].astype(jnp.float32)
+    slab_ref[:, rb:, cb:] = r1d_ref[0].astype(jnp.float32)
     fx = fx_ref[0]
     fy = fy_ref[0]
     dxi = jnp.floor(fx).astype(jnp.int32)
@@ -163,7 +177,7 @@ def _kernel(
     dx_lo = jnp.maximum(jnp.min(dxi), -band)
     dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
 
-    acc_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
+    acc_ref[...] = jnp.zeros((5, rb, cb), jnp.float32)
 
     def row_term(k, carry):
         d = k - band
@@ -172,13 +186,13 @@ def _kernel(
         # because pad + d + rb <= 2*rb for rb >= 2*band + 1
         rolled = pltpu.roll(slab, -d, 1)
         rows = jax.lax.slice_in_dim(rolled, pad, pad + rb, axis=1)
-        cd_ref[...] = jnp.zeros((5, rb, w), jnp.float32)
+        cd_ref[...] = jnp.zeros((5, rb, cb), jnp.float32)
 
         for e in range(-band, band + 1):
             @pl.when((e >= dx_lo) & (e <= dx_hi + 1))
             def _col(e=e, rows=rows):
                 wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
-                seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=2)
+                seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + cb, axis=2)
                 cd_ref[...] += wx[None] * seg
 
         acc_ref[...] += wy[None] * cd_ref[...]
@@ -189,8 +203,9 @@ def _kernel(
 
     # ---- combine into the normal equations (mirrors _combine_matrices_cf) ----
     row0 = pl.program_id(1) * rb
-    iy = row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, w), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (rb, w), 1)
+    col0 = pl.program_id(2) * cb
+    iy = row0 + jax.lax.broadcasted_iota(jnp.int32, (rb, cb), 0)
+    ix = col0 + jax.lax.broadcasted_iota(jnp.int32, (rb, cb), 1)
     ax = ix + dxi
     ay = iy + dyi
     inb = (ax >= 0) & (ax < w - 1) & (ay >= 0) & (ay < h - 1)

@@ -10,9 +10,13 @@ Mosaic program — no HBM round trips between passes.
 Exact for integer displacements in [-band, band-1] (same contract as the XLA
 path; callers guard with the gather fallback).  Out-of-band pixels produce 0.
 
-Grid: (batch, row_blocks).  Per step the kernel sees the full padded tile
-(revisited blocks are not re-fetched) plus one row-block of the displacement
-fields.
+Grid: (batch, row_blocks, col_blocks).  Blocks tile BOTH the sublane and the
+lane axis — full-width blocks made the per-step scoped-VMEM footprint linear
+in W and blew the 16 MB scoped-vmem stack limit past ~2.5k lanes (the same
+failure mode as ops/pallas_poly.py / ops/pallas_matrices.py, fixed
+2026-08-18; full-width dense row bands of a 20k canvas are ~20680 lanes).
+Each block's (rb+2pad, cb+2pad) sample window is assembled from the four
+overlapping neighbour views.
 """
 
 from __future__ import annotations
@@ -27,20 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_sample_displaced", "PALLAS_OK"]
 
-# 16 rows per block: with the band-7 halo this gives the exact (2rb=32, wal)
+# 16 rows per block: with the band-7 halo this gives the exact (2rb=32, ...)
 # slab geometry validated on v5e in ops/pallas_matrices.py — 64-row 2-D slabs
 # miscompile under Mosaic's dynamic_rotate lowering (wrong results, caught by
 # the self-test gate).
 _ROW_BLOCK = 16
+_COL_BLOCK = 1024
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "col_block"))
 def pallas_sample_displaced(
     img: jax.Array,
     fx: jax.Array,
     fy: jax.Array,
     band: int = 4,
     interpret: bool = False,
+    col_block: int | None = None,
 ) -> jax.Array:
     """Batched single-channel banded sample.
 
@@ -54,43 +60,46 @@ def pallas_sample_displaced(
     rb = min(rb, h)
     if rb < 2 * band + 1:
         raise ValueError(f"pallas_sample_displaced needs H >= {2 * band + 1}, got {h}")
+    cb = min(col_block or _COL_BLOCK, -(-w // 128) * 128)
     hpad = (-h) % rb
-    # rows: `pad` halo on top, `pad + hpad + rb` on the bottom so the second
-    # row-block view (r+1) stays in bounds for the last output block.  Lanes:
-    # `pad` halo left, right halo rounded so the slab lane count is
-    # 128-aligned (the dynamic lane rotate requires an aligned shape).
-    wal = -(-(w + 2 * pad) // 128) * 128
-    imgp = jnp.pad(img, ((0, 0), (pad, pad + hpad + rb), (pad, wal - w - pad)))
-    if hpad:
-        zs = ((0, 0), (0, hpad), (0, 0))
+    wpad = (-w) % cb
+    hp, wp = h + hpad, w + wpad
+    # `pad` halo on top/left; bottom/right slack so the (r+1)/(c+1) neighbour
+    # block views stay in bounds for the last output block.  Lane blocks are
+    # 128-aligned by construction (cb % 128 == 0).
+    imgp = jnp.pad(img, ((0, 0), (pad, pad + hpad + rb), (pad, wp + cb - w - pad)))
+    if hpad or wpad:
+        zs = ((0, 0), (0, hpad), (0, wpad))
         fx = jnp.pad(fx, zs)
         fy = jnp.pad(fy, zs)
-    hp = h + hpad
-    grid = (n, hp // rb)
+    grid = (n, hp // rb, wp // cb)
 
-    field_spec = pl.BlockSpec((1, rb, w), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM)
-    # the image is passed twice with consecutive row-block views; their concat
-    # covers the rb + 2*pad rows each output block needs (overlapping windows
-    # aren't expressible with one BlockSpec), keeping VMEM per step ~1 MB
-    img_spec_a = pl.BlockSpec((1, rb, wal), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM)
-    img_spec_b = pl.BlockSpec((1, rb, wal), lambda i, r: (i, r + 1, 0), memory_space=pltpu.VMEM)
+    field_spec = pl.BlockSpec(
+        (1, rb, cb), lambda i, r, s: (i, r, s), memory_space=pltpu.VMEM
+    )
+    img_views = [
+        pl.BlockSpec((1, rb, cb), lambda i, r, s: (i, r, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, cb), lambda i, r, s: (i, r + 1, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, cb), lambda i, r, s: (i, r, s + 1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, cb), lambda i, r, s: (i, r + 1, s + 1), memory_space=pltpu.VMEM),
+    ]
     out = pl.pallas_call(
-        functools.partial(_kernel_batched, band, rb),
-        out_shape=jax.ShapeDtypeStruct((n, hp, w), jnp.float32),
+        functools.partial(_kernel_batched, band, rb, cb),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
         grid=grid,
-        in_specs=[img_spec_a, img_spec_b, field_spec, field_spec],
+        in_specs=img_views + [field_spec, field_spec],
         out_specs=field_spec,
         scratch_shapes=[
-            pltpu.VMEM((rb, w), jnp.float32),
-            pltpu.VMEM((rb, w), jnp.float32),
+            pltpu.VMEM((rb, cb), jnp.float32),
+            pltpu.VMEM((rb, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(imgp, imgp, fx, fy)
-    return out[:, :h, :]
+    )(imgp, imgp, imgp, imgp, fx, fy)
+    return out[:, :h, :w]
 
 
 def _kernel_batched(
-    band, row_block, img_a_ref, img_b_ref, fx_ref, fy_ref,
+    band, row_block, cb, a_ref, b_ref, a2_ref, b2_ref, fx_ref, fy_ref,
     out_ref, acc_ref, cd_ref,
 ):
     """Leading singleton batch dim from the BlockSpecs; squeeze and compute.
@@ -101,7 +110,6 @@ def _kernel_batched(
     (2band+1)² sweep collapses to the few offsets actually present without
     paying a weight plane + any-reduction per absent offset.
     """
-    w = out_ref.shape[2]
     pad = band + 1
     fx = fx_ref[0]
     fy = fy_ref[0]
@@ -115,34 +123,39 @@ def _kernel_batched(
     dx_lo = jnp.maximum(jnp.min(dxi), -band)
     dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
 
-    acc_ref[...] = jnp.zeros((row_block, w), jnp.float32)
+    acc_ref[...] = jnp.zeros((row_block, cb), jnp.float32)
 
     # Both offset loops are STATIC unrolls gated by scalar range compares;
-    # row windows are STATIC sublane slices read from the two row-block refs
-    # (no dynamic rotate — rolling the slab per executed row offset was the
-    # hottest operation; static ref windows are free).  Column windows are
+    # row windows are STATIC sublane slices read from the neighbour refs
+    # (no dynamic rotate — rolling a staged slab per executed row offset was
+    # the hottest operation; static ref windows are free).  The left/right
+    # column halves are concatenated along lanes, then column windows are
     # static lane slices (dynamic lane rotates miscompile past one 128-lane
     # tile on v5e).
+    def row_window(top_ref, bot_ref, lo):
+        if lo + row_block <= row_block:  # window fully in the first block
+            return top_ref[0, lo : lo + row_block, :]
+        if lo >= row_block:  # fully in the second block
+            return bot_ref[0, lo - row_block : lo, :]
+        # straddles: static concat of the two ref windows
+        return jnp.concatenate([top_ref[0, lo:, :], bot_ref[0, : lo, :]], axis=0)
+
     for d in range(-band, band + 1):
         @pl.when((d >= dy_lo) & (d <= dy_hi + 1))
         def _row(d=d):
             wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
             lo = pad + d
-            if lo + row_block <= row_block:  # window fully in the first block
-                rows = img_a_ref[0, lo : lo + row_block, :]
-            elif lo >= row_block:  # fully in the second block
-                rows = img_b_ref[0, lo - row_block : lo, :]
-            else:  # straddles: static concat of the two ref windows
-                rows = jnp.concatenate(
-                    [img_a_ref[0, lo:, :], img_b_ref[0, : lo, :]], axis=0
-                )
-            cd_ref[...] = jnp.zeros((row_block, w), jnp.float32)
+            rows = jnp.concatenate(
+                [row_window(a_ref, b_ref, lo), row_window(a2_ref, b2_ref, lo)],
+                axis=1,
+            )  # (rb, 2cb): the block's lanes [c*cb - pad .. c*cb + 2cb - pad)
+            cd_ref[...] = jnp.zeros((row_block, cb), jnp.float32)
 
             for e in range(-band, band + 1):
                 @pl.when((e >= dx_lo) & (e <= dx_hi + 1))
                 def _col(e=e, rows=rows):
                     wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
-                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + w, axis=1)
+                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + cb, axis=1)
                     cd_ref[...] += wx * seg
 
             acc_ref[...] += wy * cd_ref[...]
@@ -168,7 +181,8 @@ def _self_test_body() -> bool:
     flow = (rng.random((2, 256, 256, 2)) - 0.5) * 13
     fx = jnp.asarray(flow[..., 0], jnp.float32)
     fy = jnp.asarray(flow[..., 1], jnp.float32)
-    out = np.asarray(pallas_sample_displaced(img, fx, fy, band=7))
+    # col_block=128 exercises the lane-blocked multi-column grid on hardware
+    out = np.asarray(pallas_sample_displaced(img, fx, fy, band=7, col_block=128))
     # compare against the XLA banded path directly (NOT the public
     # dispatcher, which consults pallas_available -> would recurse)
     from microaligner_tpu.ops.warp import _sample_banded_one

@@ -350,14 +350,7 @@ def _pallas_matrices_available(h: int, band: int, w: int | None = None) -> bool:
         return False
     if h < max(16, 2 * band + 1):  # 16: row block must stay 8-sublane aligned
         return False
-    # The kernel's blocks span the full lane axis, so its scoped-VMEM
-    # footprint is linear in W; past ~2.3k lanes it exceeds the 16 MB
-    # scoped-vmem stack limit and the TPU compiler aborts (observed
-    # 2026-08-18 at W=3072 for the sibling poly kernel, which has since been
-    # lane-blocked).  Until this kernel gets the same treatment, wide inputs
-    # (full-width dense row bands) take the XLA banded path.
-    if w is not None and w > 2288:
-        return False
+    del w  # any width: the kernel lane-blocks (scoped VMEM constant in W)
     global _PALLAS_MATRICES_OK
     if _PALLAS_MATRICES_OK is None:
         _PALLAS_MATRICES_OK = _pallas_matrices_self_test()
@@ -721,15 +714,19 @@ def _r_storage_dtype(winsize: int = _BF16_MIN_WINSIZE):
     argument matches M storage: the update's products already round through
     bf16 on DEFAULT-precision MXU stages downstream.
 
-    OPT-IN (``MICROALIGNER_TPU_R_BF16=1``, read at trace time) until the
-    on-hardware parity sweep (scripts/tpu_parity_check.py --sweep) validates
-    it across winsizes — then gate like _m_storage_dtype.  Follows the same
-    consistency rules: f32 off-TPU and whenever the aggregation precision is
-    raised.
+    DEFAULT ON, gated exactly like ``_m_storage_dtype`` (f32 off-TPU and
+    whenever the aggregation precision is raised — including the small-window
+    parity gate).  Validated 2026-08-18 on v5e: the full parity sweep
+    (``MICROALIGNER_TPU_R_BF16=1 scripts/tpu_parity_check.py --sweep``)
+    passed every size/winsize combination (worst flow mean abs diff vs cv2
+    5.4e-4 px, warped MSE <= 4.2e-9), and the bench A/B measured it faster
+    on both dense configs (config 2: 80.2 -> 78.5 ms; config 5 register:
+    1.75 -> 1.55 s).  ``MICROALIGNER_TPU_R_BF16=0`` (trace-time) forces f32
+    for exactness experiments.
     """
     import os
 
-    if os.environ.get("MICROALIGNER_TPU_R_BF16", "0") != "1":
+    if os.environ.get("MICROALIGNER_TPU_R_BF16", "1") == "0":
         return jnp.float32
     if _agg_precision(winsize) != jax.lax.Precision.DEFAULT:
         return jnp.float32

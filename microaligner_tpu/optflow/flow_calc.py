@@ -35,7 +35,10 @@ __all__ = [
 ]
 
 
-_TILE_BATCH = 16  # bounds live tile working set (R0/R1 are 5-channel f32)
+_TILE_BATCH = 8  # bounds live tile working set (R0/R1 are 5-channel planes).
+# 2026-08-18 on-hardware A/B at 20480^2 (441 tiles): batch 8 -> 1.58 s
+# register, batch 16 -> 1.75 s, batch 32 -> HBM OOM; smaller chunks keep the
+# working set out of allocator pressure without losing amortization.
 
 
 def _tile_batch() -> int:
@@ -55,29 +58,40 @@ def _static_split() -> bool:
 
 
 def _dense_banded() -> bool:
-    """MICROALIGNER_TPU_FLOW_DENSE=1: compute the tiled flow as full-width
+    """MICROALIGNER_TPU_FLOW_DENSE: compute the tiled flow as full-width
     row BANDS instead of halo windows.  Square 1200^2 windows re-compute 44%
     of their pixels as halo (1.44 Mpix window per 1 Mpix interior); a
-    full-width band re-computes only its two halo row-strips (~9% at the
-    default band height), and band extraction is a rows-only slice (lane-dim
+    full-width band re-computes only its two halo row-strips (~9-18% at the
+    default band heights), and band extraction is a rows-only slice (lane-dim
     start 0) instead of 441 unaligned 2-D window copies.  Flow values differ
     from the per-tile computation only near former tile seams — where the
     band sees MORE real context than the reference's zero-padded halos, i.e.
     equal-or-better flow; E2E accuracy stays bounded by the warp-MSE bench
-    gate.  Off by default until the on-hardware A/B (r4_hw_sweep.sh) decides;
-    tiled remains the strict-parity path."""
-    return os.environ.get("MICROALIGNER_TPU_FLOW_DENSE", "0") == "1"
+    gate.
+
+    DEFAULT ON since the 2026-08-18 on-hardware A/B (after the Pallas
+    kernels were lane-blocked so wide bands compile): 4096^2 register+warp
+    78.5 -> 47.1 ms (whole image as ONE band - zero halo recompute), chained
+    2048^2 0.41 -> 0.38 s, z-stack apply 0.085 -> 0.048 s device, 20k
+    register on par with tiled (1.60 vs 1.58 s); hardware parity
+    (tpu_parity_check --dense) passed strict bars vs cv2.  Set =0 for the
+    strict per-tile parity path (the reference's exact tile decomposition)."""
+    return os.environ.get("MICROALIGNER_TPU_FLOW_DENSE", "1") != "0"
 
 
 def _band_rows(grid: TileGrid) -> int:
-    """Band interior height: bounded working set (~45 Mpix of band pixels,
-    matching the tiled path's 16x1200^2 chunk footprint), multiple-of-8
-    sublane alignment, whole image when it already fits."""
+    """Band interior height: bounded working set (~22 Mpix of band pixels),
+    multiple-of-8 sublane alignment, whole image when it already fits.
+
+    The budget is an on-hardware result (2026-08-18, v5e 16 GB): 2176-row
+    bands of a 20k canvas OOM inside the fused register (the full-res f32
+    flow pair + canvases + one band's 15 bf16 channel planes + agg
+    intermediates), 1088-row bands fit with the same steady-state rate."""
     env = os.environ.get("MICROALIGNER_TPU_FLOW_BAND_ROWS")
     if env:
         return max(8, int(env))
     w = grid.width + 2 * grid.overlap
-    rows = int(45e6 // max(w, 1)) // 8 * 8
+    rows = int(22e6 // max(w, 1)) // 8 * 8
     return max(512, min(rows, grid.height))
 
 

@@ -67,7 +67,9 @@ def main():
     ap.add_argument("--tile", type=int, default=1000)
     ap.add_argument("--overlap", type=int, default=100)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--batches", type=str, default="16,28,56")
+    ap.add_argument("--batches", type=str, default="8,16,28")
+    ap.add_argument("--skip-static", action="store_true",
+                    help="skip the static-split stage (OOMs at 20k: 17.2G HBM)")
     args = ap.parse_args()
 
     import jax
@@ -123,13 +125,14 @@ def main():
     os.environ.pop("MICROALIGNER_TPU_FLOW_TILE_BATCH", None)
 
     # -- static window extraction (materialized halo stacks) -----------------
-    os.environ["MICROALIGNER_TPU_FLOW_STATIC_SPLIT"] = "1"
-    results["flow_static"] = timed(
-        "calc_flow_tiled (static split, default batch)",
-        lambda: sync(calc_flow_tiled(refj, movj, grid, win_size, args.iters)),
-        args.reps,
-    )
-    os.environ.pop("MICROALIGNER_TPU_FLOW_STATIC_SPLIT", None)
+    if not args.skip_static:
+        os.environ["MICROALIGNER_TPU_FLOW_STATIC_SPLIT"] = "1"
+        results["flow_static"] = timed(
+            "calc_flow_tiled (static split, default batch)",
+            lambda: sync(calc_flow_tiled(refj, movj, grid, win_size, args.iters)),
+            args.reps,
+        )
+        os.environ.pop("MICROALIGNER_TPU_FLOW_STATIC_SPLIT", None)
 
     # -- fused flow+warp vs flow-then-warp ----------------------------------
     results["fused_flow_warp"] = timed(

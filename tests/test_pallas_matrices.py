@@ -46,6 +46,29 @@ def test_sparse_offsets(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_multi_col_block(rng):
+    """Lane-blocked grid (col_block=128 forces >1 column block): block seams
+    must be invisible and the in-kernel iota (edge scales, inb masks, sample
+    windows) must use GLOBAL coordinates.  Guards the 2026-08-18 VMEM fix."""
+    R0, R1, fx, fy = _mk(rng, 1, 64, 300, 6.0)
+    got = np.asarray(
+        pallas_update_matrices(R0, R1, fx, fy, band=4, interpret=True, col_block=128)
+    )
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 4))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_multi_col_block_band7(rng):
+    """The production band (_BAND_PALLAS=7, pad=8) with lane blocking and a
+    non-multiple width (wpad path)."""
+    R0, R1, fx, fy = _mk(rng, 1, 48, 200, 12.0)
+    got = np.asarray(
+        pallas_update_matrices(R0, R1, fx, fy, band=7, interpret=True, col_block=128)
+    )
+    want = np.asarray(_update_matrices_banded_xla(R0, R1, fx, fy, 7))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_small_height_rejected():
     import pytest
 

@@ -36,6 +36,21 @@ def test_sparse_offsets(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_multi_col_block(rng):
+    """Lane-blocked grid (col_block=128 forces >1 column block): block seams
+    must be invisible.  Guards the 2026-08-18 scoped-VMEM fix."""
+    shape = (1, 64, 300)
+    img = jnp.asarray(rng.random(shape), jnp.float32)
+    flow = jnp.asarray((rng.random(shape + (2,)) - 0.5) * 12, jnp.float32)
+    out = np.asarray(
+        pallas_sample_displaced(
+            img, flow[..., 0], flow[..., 1], band=7, interpret=True, col_block=128
+        )
+    )
+    ref = np.asarray(sample_displaced_batched(img[..., None], flow, band=7))[..., 0]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_zero_flow_identity(rng):
     img = jnp.asarray(rng.random((1, 64, 64)), jnp.float32)
     z = jnp.zeros((1, 64, 64), jnp.float32)
