@@ -178,9 +178,9 @@ def _make_pair(h, w, seed=0):
 def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_steps=4):
     """Fused tiled Farneback register+warp step, steady-state (K chained).
 
-    MICROALIGNER_TPU_FLOW_DENSE=1 swaps the mesh-sharded square-window step
-    for the full-width row-band path (flow_calc.calc_flow_and_warp_dense_
-    banded) so the r4 sweep can A/B the two on this config as well."""
+    Follows the library's path selection (flow_calc._dense_banded — the
+    full-width row-band path is the default since the r4 sweep validated it);
+    MICROALIGNER_TPU_FLOW_DENSE=0 A/Bs the mesh-sharded square-window step."""
     import jax
     import jax.numpy as jnp
 
@@ -191,7 +191,9 @@ def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_ste
     win_size = overlap - (1 - overlap % 2)
     ref, mov = _make_pair(size, size)
     grid = TileGrid.for_image(ref.shape, tile_size, overlap)
-    dense = os.environ.get("MICROALIGNER_TPU_FLOW_DENSE", "0") == "1"
+    from microaligner_tpu.optflow.flow_calc import _dense_banded
+
+    dense = _dense_banded()  # same default as the production tiled path
     if dense:
         from microaligner_tpu.optflow.flow_calc import calc_flow_and_warp_dense_banded
 
