@@ -146,6 +146,7 @@ def _save_last_good():
 
 def _sig_handler(signum, frame):  # emit best snapshot before dying
     _STATE["detail"]["interrupted_by_signal"] = signum
+    _save_last_good()
     _emit()
     sys.exit(128 + signum)
 
@@ -544,6 +545,33 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
     float(jnp.sum(warped.astype(jnp.float32)[0, :8]))
     register_s = time.perf_counter() - t0
 
+    # Checkpoint the register split into the snapshot BEFORE the streamed
+    # apply: the apply fetches an ~800 MB plane, and on a degraded dev tunnel
+    # (observed 80 KB/s downlink) that outlives any sane timeout — a SIGTERM
+    # mid-apply must not lose the register measurement.
+    serial_est = RECORDED_CPU_SERIAL_S["5_20k_streamed"]
+    mpix = size * size / 1e6
+    partial = {
+        "value": round(mpix / register_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round((serial_est / CORES) / register_s, 2),
+        "register_s": round(register_s, 2),
+        "streamed_apply_s": None,
+        "note": "partial: killed mid-apply (tunnel-bound); register measured",
+        "image": f"{size}x{size}",
+        **_flow_knobs(),
+    }
+    try:  # carry the last full apply measurement instead of dropping it
+        with open(_LAST_GOOD) as fh:
+            prior = json.load(fh)["configs"]["5_20k_streamed"]
+        if prior.get("streamed_apply_s"):
+            partial["streamed_apply_s_prior"] = prior["streamed_apply_s"]
+            partial["streamed_apply_measured_at"] = prior.get("measured_at")
+    except (OSError, ValueError, KeyError):
+        pass
+    _STATE["detail"]["configs"]["5_20k_streamed"] = partial
+    _save_last_good()
+
     # streamed apply of one u16 plane through the real BigTIFF writer
     plane = (mov.astype(np.uint16) * 257)
     out_path = "/tmp/microaligner_bench_20k.ome.tiff"
@@ -567,8 +595,6 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
     mm.close()
     os.unlink(out_path)
 
-    serial_est = RECORDED_CPU_SERIAL_S["5_20k_streamed"]
-    mpix = size * size / 1e6
     total = register_s + apply_s
     return {
         "value": round(mpix / register_s, 2),
