@@ -754,7 +754,8 @@ def _run_config(key, fn, headline=False, **kw):
         if headline and "value" in cfgs[key]:
             _STATE["value"] = cfgs[key]["value"]
             _STATE["vs_baseline"] = cfgs[key]["vs_baseline"]
-        if _STATE["value"] is not None:
+        if _STATE["value"] is not None or cfgs[key].get("value") is not None:
+            # --only runs never set the headline; still persist their configs
             _save_last_good()
     except Exception as e:  # bench resilience — never lose earlier configs
         cfgs[key] = {"error": repr(e)[:300]}
