@@ -115,6 +115,9 @@ def _emit():
     print(json.dumps(_STATE), flush=True)
 
 
+_SAVING = False
+
+
 def _save_last_good():
     """Persist the current snapshot as the last successful on-hardware run,
     so a later tunnel-down skip can still point at real measured numbers
@@ -123,7 +126,15 @@ def _save_last_good():
     MERGES per-config into the committed snapshot: only configs that produced
     a measured ``value`` this run replace their entry (each stamped with its
     own measured_at), so a partial run — tunnel dying mid-bench, ``--only``
-    reruns, budget skips — never erases a previously measured config."""
+    reruns, budget skips — never erases a previously measured config.
+
+    Crash-safe: writes to a temp file and os.replace()s it into place, and a
+    re-entrant call (SIGTERM arriving mid-write) is a no-op — either way the
+    committed file is never left truncated."""
+    global _SAVING
+    if _SAVING:
+        return
+    _SAVING = True
     try:
         now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         try:
@@ -138,10 +149,29 @@ def _save_last_good():
         if _STATE["value"] is not None:
             snap["measured_at"] = now
             snap.update({k: _STATE[k] for k in ("metric", "value", "unit", "vs_baseline")})
-        with open(_LAST_GOOD, "w") as fh:
+        snap["note"] = (
+            "Last successful on-hardware bench snapshots (1x TPU v5e via the "
+            "dev tunnel), merged per-config; each entry's measured_at stamps "
+            "the run that produced it.  Regenerate BASELINE.md's table with "
+            "scripts/render_baseline_table.py."
+        )
+        tmp = _LAST_GOOD + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(snap, fh, indent=1)
+        os.replace(tmp, _LAST_GOOD)
     except OSError:
         pass
+    finally:
+        _SAVING = False
+
+
+def _last_good_config(key):
+    """The committed last-good entry for one config, or None."""
+    try:
+        with open(_LAST_GOOD) as fh:
+            return json.load(fh)["configs"][key]
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _sig_handler(signum, frame):  # emit best snapshot before dying
@@ -218,7 +248,9 @@ def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_ste
         return acc
 
     g = jax.jit(rep)
+    t0 = time.perf_counter()
     float(g(refj, movj))  # compile + settle
+    first_call_s = time.perf_counter() - t0
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -233,6 +265,7 @@ def bench_optflow_step(size=4096, tile_size=1000, overlap=100, num_iter=3, k_ste
         "unit": "Mpix/s",
         "vs_baseline": round((serial / CORES) / tpu_amortized, 2),
         "tpu_s": round(tpu_amortized, 4),
+        "first_call_s": round(first_call_s, 1),
         "cpu_serial_s": serial,
         "image": f"{size}x{size}",
         "path": "dense_banded" if dense else "tiled_sharded",
@@ -295,7 +328,9 @@ def bench_feature(size=4096):
         reg.mov_img = mov
         return reg.register()
 
+    t0 = time.perf_counter()
     m = run()  # compile
+    first_call_s = time.perf_counter() - t0
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -311,6 +346,7 @@ def bench_feature(size=4096):
         "unit": "Mpix/s",
         "vs_baseline": round((serial / CORES) / tpu_s, 3),
         "tpu_s": round(tpu_s, 2),
+        "first_call_s": round(first_call_s, 1),
         "cpu_serial_s": serial,
         "tmat_translation_err_px": round(float(err), 3),
         "note": "cpu baseline = full reference driver incl. DAISY(cv2-blur impl)+FLANN",
@@ -454,28 +490,36 @@ def bench_zstack_apply(size=4096, n_planes=8):
 
     out0 = _apply_flow_plane(jnp.asarray(planes[0]), flow_j, grid, "uint16")
     jax.block_until_ready(out0)  # compile
+    # e2e (host in -> host out) is dominated by the dev tunnel's ~20 MB/s
+    # downlink; 2 planes characterize it, extrapolated to n_planes (the
+    # device-resident loop below still measures all n_planes)
+    n_e2e = 2
     t0 = time.perf_counter()
     outs = [
         np.asarray(_apply_flow_plane(jnp.asarray(p), flow_j, grid, "uint16"))
-        for p in planes
+        for p in planes[:n_e2e]
     ]
-    tpu_e2e = time.perf_counter() - t0
+    tpu_e2e = (time.perf_counter() - t0) / n_e2e * n_planes
 
-    # device-resident: all planes on device, warps chained in one jit
+    # device-resident: all planes on device, ONE multi-plane apply (the
+    # shared-flow weights are computed once per band, not once per plane —
+    # pipeline/runner.py::_apply_flow_planes)
+    from microaligner_tpu.pipeline.runner import _apply_flow_planes
+
     planes_j = jnp.asarray(planes)
 
     def rep(ps):
-        acc = 0.0
-        for i in range(n_planes):
-            o = _apply_flow_plane(ps[i], flow_j, grid, "uint16")
-            acc = acc + jnp.sum(o[0, :8].astype(jnp.float32))
-        return acc
+        o = _apply_flow_planes(ps, flow_j, grid, "uint16")
+        return jnp.sum(o[:, 0, :8].astype(jnp.float32))
 
     g = jax.jit(rep)
     float(g(planes_j))
-    t0 = time.perf_counter()
-    float(g(planes_j))
-    tpu_dev = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(planes_j))
+        times.append(time.perf_counter() - t0)
+    tpu_dev = min(times)
 
     serial = RECORDED_CPU_SERIAL_S["4_zstack_apply"]
     mpix = n_planes * size * size / 1e6
@@ -489,7 +533,8 @@ def bench_zstack_apply(size=4096, n_planes=8):
         "vs_baseline_e2e": round((serial / CORES) / tpu_e2e, 3),
         "cpu_serial_s": serial,
         "planes": n_planes,
-        "note": "e2e over the dev tunnel is host-link-bound (~80 MB/s); production PCIe is ~200x that",
+        "e2e_planes_measured": n_e2e,
+        "note": "e2e extrapolated from 2 planes; the dev tunnel is host-link-bound (~80 MB/s), production PCIe is ~200x that",
     }
 
 
@@ -534,10 +579,12 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
 
     # flow + post-warp fused per tile chunk (the separate warp pass re-read
     # the 3.3 GB stitched flow and the mov canvas)
+    t0 = time.perf_counter()
     flow, warped = calc_flow_and_warp_tiled(
         refj, movj, movj, grid, win_size, num_iter, "uint8"
     )
     jax.block_until_ready((flow, warped))  # compile
+    first_call_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     flow, warped = calc_flow_and_warp_tiled(
         refj, movj, movj, grid, win_size, num_iter, "uint8"
@@ -556,21 +603,34 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
         "unit": "Mpix/s",
         "vs_baseline": round((serial_est / CORES) / register_s, 2),
         "register_s": round(register_s, 2),
+        "first_call_s": round(first_call_s, 1),
         "streamed_apply_s": None,
-        "note": "partial: killed mid-apply (tunnel-bound); register measured",
+        "note": "partial: apply not completed (tunnel-bound); register measured",
         "image": f"{size}x{size}",
         **_flow_knobs(),
     }
-    try:  # carry the last full apply measurement instead of dropping it
-        with open(_LAST_GOOD) as fh:
-            prior = json.load(fh)["configs"]["5_20k_streamed"]
-        if prior.get("streamed_apply_s"):
-            partial["streamed_apply_s_prior"] = prior["streamed_apply_s"]
-            partial["streamed_apply_measured_at"] = prior.get("measured_at")
-    except (OSError, ValueError, KeyError):
-        pass
+    # carry the last full apply measurement instead of dropping it; a prior
+    # snapshot that is itself a partial carries ITS carried value forward, so
+    # consecutive interrupted runs never lose the last real apply measurement
+    prior = _last_good_config("5_20k_streamed") or {}
+    carried = prior.get("streamed_apply_s") or prior.get("streamed_apply_s_prior")
+    if carried:
+        partial["streamed_apply_s_prior"] = carried
+        partial["streamed_apply_measured_at"] = (
+            prior.get("streamed_apply_measured_at") or prior.get("measured_at")
+        )
     _STATE["detail"]["configs"]["5_20k_streamed"] = partial
     _save_last_good()
+
+    # the streamed apply fetches ~800 MB over the tunnel (~40-70 s on a good
+    # day, unbounded on a degraded one); skip it inside the driver's budget
+    # and report the carried measurement instead
+    if _elapsed() > _BUDGET_S - 90:
+        partial["note"] = (
+            "register measured this run; streamed apply skipped (insufficient "
+            "remaining budget), prior measurement carried in streamed_apply_s_prior"
+        )
+        return dict(partial)
 
     # streamed apply of one u16 plane through the real BigTIFF writer
     plane = (mov.astype(np.uint16) * 257)
@@ -601,6 +661,7 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
         "unit": "Mpix/s",
         "vs_baseline": round((serial_est / CORES) / register_s, 2),
         "register_s": round(register_s, 2),
+        "first_call_s": round(first_call_s, 1),
         "streamed_apply_s": round(apply_s, 2),
         "total_s": round(total, 2),
         "cpu_serial_s_recorded": serial_est,
@@ -743,14 +804,37 @@ def bench_20k_cli(size=20480, tile_size=1000, overlap=100):
 # ----------------------------------------------------------------- driver
 
 
-def _run_config(key, fn, headline=False, **kw):
+def _skip_entry(key, reason):
+    """A skip entry that still carries the committed last-good numbers for
+    this config inline (clearly labeled as a prior run's measurement, with
+    its own measured_at — never as this run's result)."""
+    entry = {"skipped": reason}
+    prior = _last_good_config(key)
+    if prior:
+        entry["last_good"] = prior
+        entry["last_good_note"] = (
+            "prior committed on-hardware measurement (see measured_at inside),"
+            " NOT produced by this run"
+        )
+    return entry
+
+
+def _run_config(key, fn, headline=False, min_budget=0.0, **kw):
     cfgs = _STATE["detail"]["configs"]
-    if _elapsed() > _BUDGET_S:
-        cfgs[key] = {"skipped": f"wall budget {_BUDGET_S}s exceeded"}
+    remaining = _BUDGET_S - _elapsed()
+    if remaining < max(min_budget, 0.0) or remaining <= 0:
+        reason = (
+            f"wall budget {_BUDGET_S}s exceeded"
+            if remaining <= 0
+            else f"insufficient remaining budget ({remaining:.0f}s < {min_budget:.0f}s needed)"
+        )
+        cfgs[key] = _skip_entry(key, reason)
         _emit()
         return None
+    t0 = time.perf_counter()
     try:
         cfgs[key] = fn(**kw)
+        cfgs[key]["wall_s"] = round(time.perf_counter() - t0, 1)
         if headline and "value" in cfgs[key]:
             _STATE["value"] = cfgs[key]["value"]
             _STATE["vs_baseline"] = cfgs[key]["vs_baseline"]
@@ -758,7 +842,11 @@ def _run_config(key, fn, headline=False, **kw):
             # --only runs never set the headline; still persist their configs
             _save_last_good()
     except Exception as e:  # bench resilience — never lose earlier configs
-        cfgs[key] = {"error": repr(e)[:300]}
+        # an exception mid-config must not discard fields measured before it
+        # (e.g. the config-5 register split checkpointed before the apply)
+        partial = cfgs.get(key) if isinstance(cfgs.get(key), dict) else {}
+        cfgs[key] = dict(partial, error=repr(e)[:300],
+                         wall_s=round(time.perf_counter() - t0, 1))
     _emit()
     return cfgs[key]
 
@@ -815,25 +903,25 @@ def main():
     def want(key):
         return only is None or key.split("_")[0] in only
 
-    # Headline first: its JSON line must hit stdout before anything slow.
+    # Headline first (its JSON line must hit stdout before anything slow),
+    # then the north-star config 5 — the ≥10x target workload — BEFORE the
+    # cheaper detail configs, so a budget overrun starves the tail, not the
+    # targets.  Every skip embeds that config's committed last-good numbers.
     if want("2_optflow_pair"):
         _run_config("2_optflow_pair", bench_optflow_step, headline=True)
-    if want("4_zstack_apply"):
-        _run_config("4_zstack_apply", bench_zstack_apply)
+    if want("5_20k_streamed"):
+        _run_config("5_20k_streamed", bench_20k)
+    if want("1_feature_pair"):
+        _run_config("1_feature_pair", bench_feature)
     if want("3_chained_mse"):
         _run_config("3_chained_mse", bench_chained,
                     with_mse=_elapsed() < _BUDGET_S - 90)
-    if want("1_feature_pair"):
-        _run_config("1_feature_pair", bench_feature)
-    if want("5_20k_streamed"):
-        _run_config("5_20k_streamed", bench_20k)
+    if want("4_zstack_apply"):
+        _run_config("4_zstack_apply", bench_zstack_apply)
     if want("5b_20k_cli"):
-        if _elapsed() < _BUDGET_S - 240:  # the CLI run needs a real time slice
-            _run_config("5b_20k_cli", bench_20k_cli)
-        else:
-            _STATE["detail"]["configs"]["5b_20k_cli"] = {
-                "skipped": "insufficient remaining budget (needs ~240s)"
-            }
+        # the CLI run needs a real time slice; only-mode runs it regardless
+        _run_config("5b_20k_cli", bench_20k_cli,
+                    min_budget=0 if only else 240)
     # If the probe passed but every config still failed (tunnel died mid-run),
     # the final snapshot must still carry the committed last-good numbers.
     if _STATE["value"] is None and "last_measured_run" not in _STATE["detail"]:

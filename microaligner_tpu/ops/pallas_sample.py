@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_sample_displaced", "PALLAS_OK"]
+__all__ = ["pallas_sample_displaced", "pallas_sample_displaced_multi", "PALLAS_OK"]
 
 # 16 rows per block: with the band-7 halo this gives the exact (2rb=32, ...)
 # slab geometry validated on v5e in ops/pallas_matrices.py — 64-row 2-D slabs
@@ -163,6 +163,123 @@ def _kernel_batched(
     out_ref[0] = acc_ref[...]
 
 
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "col_block"))
+def pallas_sample_displaced_multi(
+    imgs: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
+    band: int = 4,
+    interpret: bool = False,
+    col_block: int | None = None,
+) -> jax.Array:
+    """Banded sample of N planes sharing ONE displacement field.
+
+    ``imgs`` (N, H, W) f32; ``fx``/``fy`` (H, W) f32.  Returns (N, H, W) f32.
+
+    The z-stack apply (reference __main__.py:288-302: every channel/z plane of
+    a cycle warped by the same flow) is the production shape: the per-offset
+    weight fields depend only on the flow, so computing them once per block
+    and broadcasting the FMA over the plane axis removes the dominant
+    per-plane cost of N independent ``pallas_sample_displaced`` calls."""
+    n, h, w = imgs.shape
+    pad = band + 1
+    rb = max(min(_ROW_BLOCK, h), -(-(2 * band + 1) // 8) * 8)
+    rb = min(rb, h)
+    if rb < 2 * band + 1:
+        raise ValueError(f"pallas_sample_displaced_multi needs H >= {2 * band + 1}, got {h}")
+    # VMEM budget: 4 neighbour views + out + 2 scratch, each (n, rb, cb) f32,
+    # plus the two field planes; keep the total under ~12 MB of the 16 MB VMEM
+    cb_fit = int(12e6 / (7 * n * rb * 4)) // 128 * 128
+    cb = min(col_block or _COL_BLOCK, max(cb_fit, 128), -(-w // 128) * 128)
+    hpad = (-h) % rb
+    wpad = (-w) % cb
+    hp, wp = h + hpad, w + wpad
+    imgp = jnp.pad(imgs, ((0, 0), (pad, pad + hpad + rb), (pad, wp + cb - w - pad)))
+    if hpad or wpad:
+        zs = ((0, hpad), (0, wpad))
+        fx = jnp.pad(fx, zs)
+        fy = jnp.pad(fy, zs)
+    grid = (hp // rb, wp // cb)
+
+    field_spec = pl.BlockSpec(
+        (rb, cb), lambda r, s: (r, s), memory_space=pltpu.VMEM
+    )
+    img_views = [
+        pl.BlockSpec((n, rb, cb), lambda r, s: (0, r, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, rb, cb), lambda r, s: (0, r + 1, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, rb, cb), lambda r, s: (0, r, s + 1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, rb, cb), lambda r, s: (0, r + 1, s + 1), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (n, rb, cb), lambda r, s: (0, r, s), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_multi, band, rb, cb),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+        grid=grid,
+        in_specs=img_views + [field_spec, field_spec],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((n, rb, cb), jnp.float32),
+            pltpu.VMEM((n, rb, cb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(imgp, imgp, imgp, imgp, fx, fy)
+    return out[:, :h, :w]
+
+
+def _kernel_multi(
+    band, row_block, cb, a_ref, b_ref, a2_ref, b2_ref, fx_ref, fy_ref,
+    out_ref, acc_ref, cd_ref,
+):
+    """Same banded structure as ``_kernel_batched`` with the plane axis kept
+    whole per block: the (d, e) weight planes are computed ONCE from the
+    shared flow and broadcast over the N-plane FMA."""
+    pad = band + 1
+    fx = fx_ref[...]
+    fy = fy_ref[...]
+    dxi = jnp.floor(fx).astype(jnp.int32)
+    dyi = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - dxi.astype(jnp.float32)
+    ty = fy - dyi.astype(jnp.float32)
+
+    dy_lo = jnp.maximum(jnp.min(dyi), -band)
+    dy_hi = jnp.minimum(jnp.max(dyi), band - 1)
+    dx_lo = jnp.maximum(jnp.min(dxi), -band)
+    dx_hi = jnp.minimum(jnp.max(dxi), band - 1)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def row_window(top_ref, bot_ref, lo):
+        if lo + row_block <= row_block:
+            return top_ref[:, lo : lo + row_block, :]
+        if lo >= row_block:
+            return bot_ref[:, lo - row_block : lo, :]
+        return jnp.concatenate([top_ref[:, lo:, :], bot_ref[:, : lo, :]], axis=1)
+
+    for d in range(-band, band + 1):
+        @pl.when((d >= dy_lo) & (d <= dy_hi + 1))
+        def _row(d=d):
+            wy = jnp.where(dyi == d, 1.0 - ty, jnp.where(dyi == d - 1, ty, 0.0))
+            lo = pad + d
+            rows = jnp.concatenate(
+                [row_window(a_ref, b_ref, lo), row_window(a2_ref, b2_ref, lo)],
+                axis=2,
+            )  # (n, rb, 2cb)
+            cd_ref[...] = jnp.zeros_like(cd_ref)
+
+            for e in range(-band, band + 1):
+                @pl.when((e >= dx_lo) & (e <= dx_hi + 1))
+                def _col(e=e, rows=rows):
+                    wx = jnp.where(dxi == e, 1.0 - tx, jnp.where(dxi == e - 1, tx, 0.0))
+                    seg = jax.lax.slice_in_dim(rows, pad + e, pad + e + cb, axis=2)
+                    cd_ref[...] += wx[None] * seg
+
+            acc_ref[...] += wy[None] * cd_ref[...]
+
+    out_ref[...] = acc_ref[...]
+
+
 def _self_test() -> bool:
     """Compile-and-compare smoke test on the current default backend.
 
@@ -204,3 +321,34 @@ def pallas_available() -> bool:
     if PALLAS_OK is None:
         PALLAS_OK = _self_test()
     return PALLAS_OK
+
+
+def _multi_self_test_body() -> bool:
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.random((3, 256, 256)), jnp.float32)
+    flow = (rng.random((256, 256, 2)) - 0.5) * 13
+    fx = jnp.asarray(flow[..., 0], jnp.float32)
+    fy = jnp.asarray(flow[..., 1], jnp.float32)
+    out = np.asarray(
+        pallas_sample_displaced_multi(imgs, fx, fy, band=7, col_block=128)
+    )
+    from microaligner_tpu.ops.warp import _sample_banded_one
+
+    fl = jnp.asarray(flow, jnp.float32)
+    ref = np.asarray(
+        jax.jit(jax.vmap(lambda i: _sample_banded_one(i[..., None], fl, 7)))(imgs)
+    )[..., 0]
+    return bool(np.allclose(out, ref, atol=1e-5))
+
+
+PALLAS_MULTI_OK: bool | None = None
+
+
+def pallas_multi_available() -> bool:
+    """Gate for the shared-flow multi-plane kernel (compile-and-compare)."""
+    global PALLAS_MULTI_OK
+    if PALLAS_MULTI_OK is None:
+        from microaligner_tpu.utils.selftest import run_outside_trace
+
+        PALLAS_MULTI_OK = run_outside_trace(_multi_self_test_body)
+    return PALLAS_MULTI_OK

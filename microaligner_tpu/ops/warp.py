@@ -25,6 +25,7 @@ from microaligner_tpu.ops.pad import pad_to_shape
 __all__ = [
     "bilinear_remap",
     "warp_with_flow",
+    "warp_planes_with_flow",
     "affine_warp",
     "compose_flows",
     "transform_img_with_tmat",
@@ -248,6 +249,64 @@ def warp_with_flow_parts_batched(
         return jax.vmap(_sample_take_one)(
             im[..., None], jnp.stack([px, py], axis=-1)
         )[..., 0]
+
+    return jax.lax.cond(ok, banded, exact, (x, nfx, nfy))
+
+
+def warp_planes_with_flow(imgs: jax.Array, flow: jax.Array, band: int = 4) -> jax.Array:
+    """Warp N planes by ONE shared flow: out[n](p) = imgs[n](p - flow(p)).
+
+    The z-stack / multi-channel apply shape (reference __main__.py:288-302:
+    every channel and z plane of a cycle warped by the cycle's single flow).
+    The per-offset bilinear weight fields depend only on the flow, so they are
+    computed once and broadcast over the plane axis — N independent
+    ``warp_with_flow_batched`` calls each recompute them.
+
+    ``imgs`` (N, H, W); ``flow`` (H, W, 2).  Returns (N, H, W) f32.
+    """
+    h, w = flow.shape[:2]
+    x = imgs.astype(jnp.float32)
+    nfx = -flow[..., 0]
+    nfy = -flow[..., 1]
+
+    use_pallas = h >= 16 and jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from microaligner_tpu.ops.pallas_sample import pallas_multi_available
+
+        use_pallas = pallas_multi_available()
+    band_eff = _PALLAS_SAMPLE_BAND if use_pallas else band
+
+    dxi = jnp.floor(nfx).astype(jnp.int32)
+    dyi = jnp.floor(nfy).astype(jnp.int32)
+    gx = jax.lax.broadcasted_iota(jnp.int32, dxi.shape, 1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, dyi.shape, 0)
+    in_band = (
+        (dxi >= -band_eff) & (dxi <= band_eff - 1)
+        & (dyi >= -band_eff) & (dyi <= band_eff - 1)
+    )
+    abs_x = gx + dxi
+    abs_y = gy + dyi
+    fully_outside = (abs_x < -1) | (abs_x > w - 1) | (abs_y < -1) | (abs_y > h - 1)
+    ok = jnp.all(in_band | fully_outside)
+
+    def banded(args):
+        im, px, py = args
+        if use_pallas:
+            from microaligner_tpu.ops.pallas_sample import pallas_sample_displaced_multi
+
+            return pallas_sample_displaced_multi(im, px, py, band=band_eff)
+        # channels-last form of the same shared-weight accumulation
+        out = _sample_banded_one(
+            jnp.moveaxis(im, 0, -1), jnp.stack([px, py], axis=-1), band
+        )
+        return jnp.moveaxis(out, -1, 0)
+
+    def exact(args):
+        im, px, py = args
+        out = _sample_take_one(
+            jnp.moveaxis(im, 0, -1), jnp.stack([px, py], axis=-1)
+        )
+        return jnp.moveaxis(out, -1, 0)
 
     return jax.lax.cond(ok, banded, exact, (x, nfx, nfy))
 

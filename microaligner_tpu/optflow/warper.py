@@ -29,7 +29,7 @@ from microaligner_tpu.tiles import (
     tile_origins,
 )
 
-__all__ = ["Warper", "warp_tiled"]
+__all__ = ["Warper", "warp_tiled", "warp_planes_tiled"]
 
 
 _TILE_BATCH = 32  # bounds live tile working set for the apply phase
@@ -152,6 +152,68 @@ def _warp_tiled_jit(image, flow, grid, out_dtype_name, mesh):
 def warp_tiled(image: jax.Array, flow: jax.Array, grid: TileGrid) -> jax.Array:
     """Warp ``image`` (H, W) by ``flow`` (H, W, 2) tile-by-tile (f32 output)."""
     return _warp_tiled_impl(image, flow, grid, "float32")
+
+
+def warp_planes_tiled(
+    imgs: jax.Array, flow: jax.Array, grid: TileGrid, dtype_name: str
+) -> jax.Array:
+    """Warp N planes (N, H, W) by ONE shared flow, banded, rounded to dtype.
+
+    The multi-channel/z apply shape (reference __main__.py:288-302).  Same
+    per-band halo semantics as ``_warp_banded_jit``; the flow-derived bilinear
+    weights are computed once per band and broadcast over the plane axis
+    (ops/warp.py::warp_planes_with_flow), instead of once per plane.
+    """
+    from microaligner_tpu.optflow.flow_calc import _band_rows
+
+    return _warp_planes_banded_jit(
+        imgs, flow, grid, dtype_name, _band_rows(grid), current_tile_mesh()
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "out_dtype_name", "band_rows", "mesh")
+)
+def _warp_planes_banded_jit(imgs, flow, grid, out_dtype_name, band_rows, mesh=None):
+    from microaligner_tpu.ops.warp import warp_planes_with_flow
+
+    out_dt = jnp.dtype(out_dtype_name)
+    o = grid.overlap
+    h, w = grid.height, grid.width
+    n = imgs.shape[0]
+    nb = -(-h // band_rows)
+    slab_h = band_rows + 2 * o
+    slab_w = w + 2 * o
+
+    def finish(x):
+        if jnp.issubdtype(out_dt, jnp.integer):
+            info = jnp.iinfo(out_dt)
+            x = jnp.clip(jnp.round(x), info.min, info.max)
+        return x.astype(out_dt)
+
+    canvas = jnp.pad(
+        imgs, ((0, 0), (o, nb * band_rows - h + o), (o, o)), mode="constant"
+    )
+    fpad = ((0, nb * band_rows - h), (0, 0))
+    fx_c = jnp.pad(flow[..., 0], fpad)
+    fy_c = jnp.pad(flow[..., 1], fpad)
+    zo = ((o, o), (o, o))
+
+    def band(i, cv, fxc, fyc):
+        row0 = i * band_rows
+        src = jax.lax.dynamic_slice(cv, (0, row0, 0), (n, slab_h, slab_w))
+        fx = jax.lax.dynamic_slice(fxc, (row0, 0), (band_rows, w))
+        fy = jax.lax.dynamic_slice(fyc, (row0, 0), (band_rows, w))
+        fw = jnp.stack([jnp.pad(fx, zo), jnp.pad(fy, zo)], axis=-1)
+        out = warp_planes_with_flow(src.astype(jnp.float32), fw)
+        return finish(out[:, o : o + band_rows, o : o + w])
+
+    warped = tile_map(
+        band, (jnp.arange(nb),), batch=1, mesh=mesh, unbatched=True,
+        broadcast=(canvas, fx_c, fy_c),
+    )
+    # tile_map returns (nb, n, band_rows, w): restore the plane-major layout
+    return jnp.moveaxis(warped, 1, 0).reshape(n, nb * band_rows, w)[:, :h]
 
 
 def compose_flows_tiled(flow1: jax.Array, flow2: jax.Array, grid: TileGrid) -> jax.Array:

@@ -132,6 +132,16 @@ def _apply_flow_plane(img, flow, grid, dtype_name):
     return out.astype(dt)
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "dtype_name"))
+def _apply_flow_planes(imgs, flow, grid, dtype_name):
+    """Device-side tiled warp of N planes sharing one flow (the cycle's
+    channel/z stack — reference __main__.py:288-302), rounded to dtype.
+    The flow-derived weights are computed once per band, not once per plane."""
+    from microaligner_tpu.optflow.warper import warp_planes_tiled
+
+    return warp_planes_tiled(imgs, flow, grid, dtype_name)
+
+
 def _dims_of_struct(struct: DatasetStruct):
     nz = [len(struct.tiff_pages[c][ch]) for c in struct.tiff_pages for ch in struct.tiff_pages[c]]
     nch = [len(struct.tiff_pages[c]) for c in struct.tiff_pages]
