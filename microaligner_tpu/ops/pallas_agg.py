@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from microaligner_tpu.ops.pallas_params import compiler_params
+
 __all__ = ["pallas_smooth5_solve", "pallas_smooth_w"]
 
 _B = 128  # lane-aligned block edge
@@ -122,6 +124,9 @@ def _smooth_w_padded(x: jax.Array, winsize: int, interpret: bool = False) -> jax
         in_specs=[in_spec, fac_spec],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((c, hb, 3 * _B), dt)],
+        # the ring axis (s) is stateful and must run in order; batch and row
+        # sweeps are independent (each sweep re-warms the ring)
+        compiler_params=compiler_params("parallel", "parallel", "arbitrary"),
         interpret=interpret,
     )(xp, f)
     return out
@@ -151,12 +156,17 @@ def _w_kernel_ring(c, hb, prec, x_ref, f_ref, out_ref, slab_ref):
         out_ref[0] = y.reshape(c, hb, _B).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("winsize", "interpret"))
-def pallas_smooth5_solve(M: jax.Array, winsize: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("winsize", "interpret", "col_block"))
+def pallas_smooth5_solve(
+    M: jax.Array, winsize: int, interpret: bool = False, col_block: int | None = None
+):
     """Full window aggregation + 2x2 solve: (N, 5, H, W) -> (fx, fy).
 
     Pass 1 smooths W; pass 2 smooths H and solves the per-pixel normal
     equations in its epilogue (matching _update_flow_gaussian_cf numerics).
+    ``col_block`` overrides pass 2's per-step column width (lanes per grid
+    step; must be a multiple of 128 — falls back to the widest multiple of
+    _B that divides the padded width).
     """
     n, c, h, w = M.shape
     assert c == 5
@@ -168,7 +178,9 @@ def pallas_smooth5_solve(M: jax.Array, winsize: int, interpret: bool = False):
     hp = nbh * _B
     if hp1 < hp:  # pass-1 row round-up (multiples of _HB) usually covers hp
         s1 = jnp.pad(s1, ((0, 0), (0, 0), (0, hp - hp1), (0, 0)))
-    wb = 2 * _B if wp % (2 * _B) == 0 else _B  # wp is always a multiple of _B
+    wb = col_block or 2 * _B
+    while wp % wb:  # wp is always a multiple of _B
+        wb -= _B
     grid = (n, wp // wb, nbh + 2)  # ring over row blocks, two warm-up steps
 
     nbh1 = s1.shape[2] // _B  # available row blocks in the pass-1 output
@@ -198,6 +210,7 @@ def pallas_smooth5_solve(M: jax.Array, winsize: int, interpret: bool = False):
         in_specs=[in_spec, fac_spec],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[pltpu.VMEM((5, 3 * _B, wb), s1.dtype)],
+        compiler_params=compiler_params("parallel", "parallel", "arbitrary"),
         interpret=interpret,
     )(s1, f)
     return fx[:, :h, :w], fy[:, :h, :w]

@@ -33,13 +33,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from microaligner_tpu.ops.pallas_params import compiler_params
+
 __all__ = ["pallas_update_matrices"]
 
 _ROW_BLOCK = 16  # measured best on v5e: rb=32 is ~18% SLOWER (the dynamic
 # sublane roll over the doubled slab costs more than the halved block count)
-_COL_BLOCK = 1024  # lane blocking keeps scoped VMEM constant in image width
+_COL_BLOCK = 2048  # lane blocking keeps scoped VMEM constant in image width
 # (full-width blocks exceeded the 16 MB scoped-vmem stack past ~2.3k lanes —
-# same failure mode as ops/pallas_poly.py, fixed 2026-08-18)
+# same failure mode as ops/pallas_poly.py, fixed 2026-08-18).  2048 measured
+# 22.95 ms vs 24.53 ms at 1024 on the 20k dense-band geometry (1256x20680,
+# scripts/probe_block_sizes.py, v5e 2026-08-19); 4096 fails to compile
+# (scoped-VMEM: the (5, 2rb, 2cb) slab alone is 5.2 MB).
 # OpenCV's border down-weighting of the displacement equations, outer 5 px
 # (must match optflow/farneback.py::_BORDER_SCALE).
 _BORDER = 5
@@ -128,6 +133,8 @@ def pallas_update_matrices(
             pltpu.VMEM((5, rb, cb), jnp.float32),
             pltpu.VMEM((5, rb, cb), jnp.float32),
         ],
+        # independent grid steps (scratch fully rewritten per step)
+        compiler_params=compiler_params("parallel", "parallel", "parallel"),
         interpret=interpret,
     )(R0, R1p, R1p, R1p, R1p, fx, fy)
     return out[:, :, :h, :w]

@@ -33,6 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from microaligner_tpu.ops.pallas_params import compiler_params
+
 __all__ = ["pallas_poly_exp5", "pallas_poly_pair_m"]
 
 _ROW_BLOCK = 128
@@ -102,6 +104,8 @@ def pallas_poly_exp5(
         grid=grid,
         in_specs=_view_specs(rb, cb),
         out_specs=out_spec,
+        # stateless per-step compute: fully parallel grid
+        compiler_params=compiler_params("parallel", "parallel", "parallel"),
         interpret=interpret,
     )(spp, spp, spp, spp)
     return out[:, :, :h, :w]
@@ -209,6 +213,7 @@ def pallas_poly_pair_m(
         grid=grid,
         in_specs=_view_specs(rb, cb) + _view_specs(rb, cb),
         out_specs=(out_spec, out_spec, out_spec),
+        compiler_params=compiler_params("parallel", "parallel", "parallel"),
         interpret=interpret,
     )(spp0, spp0, spp0, spp0, spp1, spp1, spp1, spp1)
     return r0[:, :, :h, :w], r1[:, :, :h, :w], m0[:, :, :h, :w]

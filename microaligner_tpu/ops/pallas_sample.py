@@ -29,6 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from microaligner_tpu.ops.pallas_params import compiler_params
+
 __all__ = ["pallas_sample_displaced", "pallas_sample_displaced_multi", "PALLAS_OK"]
 
 # 16 rows per block: with the band-7 halo this gives the exact (2rb=32, ...)
@@ -36,10 +38,15 @@ __all__ = ["pallas_sample_displaced", "pallas_sample_displaced_multi", "PALLAS_O
 # miscompile under Mosaic's dynamic_rotate lowering (wrong results, caught by
 # the self-test gate).
 _ROW_BLOCK = 16
-_COL_BLOCK = 1024
+_COL_BLOCK = 4096  # grid-step overhead dominates this kernel (~10 us/step);
+# sweep at the 20k dense-band geometry (scripts/probe_block_sizes.py, v5e
+# 2026-08-19): cb 1024 -> 14.94 ms, 2048 -> 12.95 ms, 4096 -> 12.25 ms.
+# VMEM stays small (4 views + out + 2 scratch at (16, 4096) f32 = ~1.8 MB).
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "col_block"))
+@functools.partial(
+    jax.jit, static_argnames=("band", "interpret", "col_block", "row_block")
+)
 def pallas_sample_displaced(
     img: jax.Array,
     fx: jax.Array,
@@ -47,6 +54,7 @@ def pallas_sample_displaced(
     band: int = 4,
     interpret: bool = False,
     col_block: int | None = None,
+    row_block: int | None = None,
 ) -> jax.Array:
     """Batched single-channel banded sample.
 
@@ -56,7 +64,7 @@ def pallas_sample_displaced(
     """
     n, h, w = img.shape
     pad = band + 1
-    rb = max(min(_ROW_BLOCK, h), -(-(2 * band + 1) // 8) * 8)
+    rb = max(min(row_block or _ROW_BLOCK, h), -(-(2 * band + 1) // 8) * 8)
     rb = min(rb, h)
     if rb < 2 * band + 1:
         raise ValueError(f"pallas_sample_displaced needs H >= {2 * band + 1}, got {h}")
@@ -93,6 +101,9 @@ def pallas_sample_displaced(
             pltpu.VMEM((rb, cb), jnp.float32),
             pltpu.VMEM((rb, cb), jnp.float32),
         ],
+        # every grid step is independent (scratch is reset per step): parallel
+        # semantics let Mosaic overlap the block pipeline across steps
+        compiler_params=compiler_params("parallel", "parallel", "parallel"),
         interpret=interpret,
     )(imgp, imgp, imgp, imgp, fx, fy)
     return out[:, :h, :w]
@@ -163,7 +174,9 @@ def _kernel_batched(
     out_ref[0] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "col_block"))
+@functools.partial(
+    jax.jit, static_argnames=("band", "interpret", "col_block", "row_block")
+)
 def pallas_sample_displaced_multi(
     imgs: jax.Array,
     fx: jax.Array,
@@ -171,6 +184,7 @@ def pallas_sample_displaced_multi(
     band: int = 4,
     interpret: bool = False,
     col_block: int | None = None,
+    row_block: int | None = None,
 ) -> jax.Array:
     """Banded sample of N planes sharing ONE displacement field.
 
@@ -183,13 +197,15 @@ def pallas_sample_displaced_multi(
     per-plane cost of N independent ``pallas_sample_displaced`` calls."""
     n, h, w = imgs.shape
     pad = band + 1
-    rb = max(min(_ROW_BLOCK, h), -(-(2 * band + 1) // 8) * 8)
+    rb = max(min(row_block or _ROW_BLOCK, h), -(-(2 * band + 1) // 8) * 8)
     rb = min(rb, h)
     if rb < 2 * band + 1:
         raise ValueError(f"pallas_sample_displaced_multi needs H >= {2 * band + 1}, got {h}")
     # VMEM budget: 4 neighbour views + out + 2 scratch, each (n, rb, cb) f32,
-    # plus the two field planes; keep the total under ~12 MB of the 16 MB VMEM
-    cb_fit = int(12e6 / (7 * n * rb * 4)) // 128 * 128
+    # plus the two field planes; keep the total under ~3/4 of the scoped limit
+    from microaligner_tpu.ops.pallas_params import vmem_budget_bytes
+
+    cb_fit = int(vmem_budget_bytes() / (7 * n * rb * 4)) // 128 * 128
     cb = min(col_block or _COL_BLOCK, max(cb_fit, 128), -(-w // 128) * 128)
     hpad = (-h) % rb
     wpad = (-w) % cb
@@ -223,6 +239,7 @@ def pallas_sample_displaced_multi(
             pltpu.VMEM((n, rb, cb), jnp.float32),
             pltpu.VMEM((n, rb, cb), jnp.float32),
         ],
+        compiler_params=compiler_params("parallel", "parallel"),
         interpret=interpret,
     )(imgp, imgp, imgp, imgp, fx, fy)
     return out[:, :h, :w]
