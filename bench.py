@@ -34,6 +34,7 @@ the other configs are in detail.configs.
 from __future__ import annotations
 
 import json
+import math
 import os
 import signal
 import sys
@@ -585,12 +586,17 @@ def bench_20k(size=20480, tile_size=1000, overlap=100, num_iter=3):
     )
     jax.block_until_ready((flow, warped))  # compile
     first_call_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    flow, warped = calc_flow_and_warp_tiled(
-        refj, movj, movj, grid, win_size, num_iter, "uint8"
-    )
-    float(jnp.sum(warped.astype(jnp.float32)[0, :8]))
-    register_s = time.perf_counter() - t0
+    # steady-state: min of 2 post-compile calls (same convention as the
+    # chained-step configs; a single shot is exposed to host scheduling noise
+    # when the driver shares the 32-core host with other work)
+    register_s = math.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        flow, warped = calc_flow_and_warp_tiled(
+            refj, movj, movj, grid, win_size, num_iter, "uint8"
+        )
+        float(jnp.sum(warped.astype(jnp.float32)[0, :8]))
+        register_s = min(register_s, time.perf_counter() - t0)
 
     # Checkpoint the register split into the snapshot BEFORE the streamed
     # apply: the apply fetches an ~800 MB plane, and on a degraded dev tunnel
