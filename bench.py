@@ -383,6 +383,8 @@ def bench_chained(size=2048, with_mse=True):
     """DoG + chained affine -> optflow registration, plus (budget allowing)
     the E2E quality metric: warped-output MSE vs the cv2 reference
     reconstruction (which costs ~60 s of serial cv2 to produce)."""
+    import jax.numpy as jnp
+
     from microaligner_tpu.optflow import OptFlowRegistrator
 
     ref, mov = _make_pair(size, size, seed=2)
