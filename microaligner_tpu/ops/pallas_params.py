@@ -30,18 +30,23 @@ def _limit_mb() -> float | None:
     return _DEFAULT_VMEM_MB
 
 
-def vmem_budget_bytes() -> int:
+def vmem_budget_bytes(default_mb: float | None = None) -> int:
     """Approximate per-step VMEM budget kernels may size blocks against:
-    3/4 of the scoped limit (leaves room for double-buffering slack)."""
-    mb = _limit_mb() or 16.0
+    3/4 of the scoped limit (leaves room beyond the double-buffered blocks
+    the sizing already counts).  ``default_mb`` is the kernel's own raised
+    limit (the one it passes to ``compiler_params``); the env var overrides
+    both."""
+    mb = _limit_mb() or default_mb or 16.0
     return int(mb * 2**20 * 0.75)
 
 
-def compiler_params(*dimension_semantics: str) -> pltpu.CompilerParams:
+def compiler_params(
+    *dimension_semantics: str, vmem_mb: float | None = None
+) -> pltpu.CompilerParams:
     """CompilerParams with the given grid-dim semantics and the repo's
-    (env-overridable) scoped-VMEM budget."""
+    scoped-VMEM budget (per-kernel ``vmem_mb`` default, env override wins)."""
     kw = {"dimension_semantics": tuple(dimension_semantics)}
-    mb = _limit_mb()
+    mb = _limit_mb() or vmem_mb
     if mb is not None:
         kw["vmem_limit_bytes"] = int(mb * 2**20)
     return pltpu.CompilerParams(**kw)

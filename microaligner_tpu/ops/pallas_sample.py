@@ -38,6 +38,9 @@ __all__ = ["pallas_sample_displaced", "pallas_sample_displaced_multi", "PALLAS_O
 # miscompile under Mosaic's dynamic_rotate lowering (wrong results, caught by
 # the self-test gate).
 _ROW_BLOCK = 16
+_MULTI_VMEM_MB = 64.0  # raised scoped-VMEM limit for the multi-plane kernel:
+# at n=8 planes a full-width (rb=16, cb=4352) step needs ~27 MB; v5e has
+# 128 MB physical VMEM, Mosaic's 16 MB default is just a conservative cap
 _COL_BLOCK = 4096  # grid-step overhead dominates this kernel (~10 us/step);
 # sweep at the 20k dense-band geometry (scripts/probe_block_sizes.py, v5e
 # 2026-08-19): cb 1024 -> 14.94 ms, 2048 -> 12.95 ms, 4096 -> 12.25 ms.
@@ -201,12 +204,18 @@ def pallas_sample_displaced_multi(
     rb = min(rb, h)
     if rb < 2 * band + 1:
         raise ValueError(f"pallas_sample_displaced_multi needs H >= {2 * band + 1}, got {h}")
-    # VMEM budget: 4 neighbour views + out + 2 scratch, each (n, rb, cb) f32,
-    # plus the two field planes; keep the total under ~3/4 of the scoped limit
+    # VMEM budget: Mosaic double-buffers the grid-streamed blocks, so the
+    # per-step footprint is (4 views + out) x 2 + 2 scratch = 12 blocks of
+    # (n, rb, cb) f32 (verified on hardware: the 8x4096^2 z-stack shape
+    # failed at exactly 12 x blocksize with a 7-block divisor), plus the two
+    # small field planes; size against ~3/4 of the (raised) scoped limit.
+    # Unlike the single-plane kernel this one prefers FULL-WIDTH blocks: the
+    # weight fields amortize over n planes, so fewer/wider grid steps win,
+    # and a raised scoped-VMEM limit (v5e has 128 MB physical) admits them.
     from microaligner_tpu.ops.pallas_params import vmem_budget_bytes
 
-    cb_fit = int(vmem_budget_bytes() / (7 * n * rb * 4)) // 128 * 128
-    cb = min(col_block or _COL_BLOCK, max(cb_fit, 128), -(-w // 128) * 128)
+    cb_fit = int(vmem_budget_bytes(_MULTI_VMEM_MB) / (12 * n * rb * 4)) // 128 * 128
+    cb = min(col_block or max(cb_fit, 128), max(cb_fit, 128), -(-w // 128) * 128)
     hpad = (-h) % rb
     wpad = (-w) % cb
     hp, wp = h + hpad, w + wpad
@@ -239,7 +248,9 @@ def pallas_sample_displaced_multi(
             pltpu.VMEM((n, rb, cb), jnp.float32),
             pltpu.VMEM((n, rb, cb), jnp.float32),
         ],
-        compiler_params=compiler_params("parallel", "parallel"),
+        compiler_params=compiler_params(
+            "parallel", "parallel", vmem_mb=_MULTI_VMEM_MB
+        ),
         interpret=interpret,
     )(imgp, imgp, imgp, imgp, fx, fy)
     return out[:, :h, :w]

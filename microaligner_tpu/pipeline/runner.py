@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import csv
 import functools
+import os
 from pathlib import Path
 from typing import Dict, List, Tuple
 
@@ -136,10 +137,20 @@ def _apply_flow_plane(img, flow, grid, dtype_name):
 def _apply_flow_planes(imgs, flow, grid, dtype_name):
     """Device-side tiled warp of N planes sharing one flow (the cycle's
     channel/z stack — reference __main__.py:288-302), rounded to dtype.
-    The flow-derived weights are computed once per band, not once per plane."""
-    from microaligner_tpu.optflow.warper import warp_planes_tiled
 
-    return warp_planes_tiled(imgs, flow, grid, dtype_name)
+    Default: a scanned per-plane banded warp — on hardware (8x u16 4096^2,
+    2026-08-19) it runs 0.058 s vs 0.082 s for the shared-weight multi-plane
+    kernel, whose honest scoped-VMEM block sizing forces narrower lane
+    blocks (3 column steps + 34% pad waste), and whose full-width variant
+    compiles pathologically slowly (>7 min).  The multi-plane kernel stays
+    available via MICROALIGNER_TPU_MULTI_APPLY=1 (trace-time knob)."""
+    if os.environ.get("MICROALIGNER_TPU_MULTI_APPLY", "0") == "1":
+        from microaligner_tpu.optflow.warper import warp_planes_tiled
+
+        return warp_planes_tiled(imgs, flow, grid, dtype_name)
+    return jax.lax.map(
+        lambda im: _apply_flow_plane(im, flow, grid, dtype_name), imgs
+    )
 
 
 def _dims_of_struct(struct: DatasetStruct):
